@@ -1,0 +1,63 @@
+"""Gorilla chunk materialization: tier series -> compressed chunk rows.
+
+One ``applyInPandas`` per (source): sort by bucket inside the group (cheaper
+than a global sort — ordering is only needed within a chunk), encode with the
+vectorized codec, emit one row per chunk with stats. Chunk size bounds both
+UDF memory and point-lookup read amplification.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .gorilla import chunk_stats, encode
+
+CHUNK_SCHEMA = (
+    "source string, chunk_start timestamp, n_points long, bytes long, "
+    "crc32 long, v_min double, v_max double, v_sum double, blob binary"
+)
+
+
+def gorilla_chunks(tier_df: DataFrame, value_col: str,
+                   max_points_per_chunk: int = 65536) -> DataFrame:
+    """tier_df(source, bucket, <value_col>) -> chunk table."""
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        source = key[0]
+        pdf = pdf.sort_values("bucket")
+        ts = (pdf["bucket"].astype("int64") // 10**9).to_numpy()
+        vals = pdf[value_col].astype("float64").to_numpy()
+        rows = []
+        for s in range(0, len(ts), max_points_per_chunk):
+            t = ts[s:s + max_points_per_chunk]
+            v = vals[s:s + max_points_per_chunk]
+            blob = encode(t, v)
+            st = chunk_stats(v, blob)
+            rows.append({
+                "source": source,
+                "chunk_start": pd.Timestamp(t[0], unit="s"),
+                "n_points": st["n_points"],
+                "bytes": st["bytes"],
+                "crc32": st["crc32"],
+                "v_min": st["v_min"],
+                "v_max": st["v_max"],
+                "v_sum": st["v_sum"],
+                "blob": blob,
+            })
+        return pd.DataFrame(rows)
+
+    return tier_df.groupBy("source").applyInPandas(fn, CHUNK_SCHEMA)
+
+
+def decode_chunks(chunks_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Verification read path: chunk rows -> (source, ts, value) points."""
+    from .gorilla import decode
+
+    out = []
+    for _, r in chunks_pdf.iterrows():
+        ts, vals = decode(bytes(r["blob"]))
+        out.append(pd.DataFrame({"source": r["source"], "ts": ts, "value": vals}))
+    return (pd.concat(out, ignore_index=True) if out
+            else pd.DataFrame(columns=["source", "ts", "value"]))

@@ -1,0 +1,128 @@
+"""End-to-end rollup + STL-gapfill + Gorilla pipeline driver.
+
+``python -m hastl_spark.plans.rollup_job --scale tiny --out /tmp/tiers``
+
+Stages (SURVEY.md §3.4):
+  sequences -> token-invariant check -> event-time derivation ->
+  salted 1m rollup -> MERGE tier_1m -> STL gap-fill (applyInPandas) ->
+  MERGE gapfill_1m -> 1h/1d re-rollup -> MERGE -> Gorilla chunks per tier ->
+  MERGE chunk tables; lineage manifest per run; prints one JSON metrics line.
+
+Runs incrementally: pass ``--since-bucket N`` to restrict the raw scan to
+buckets >= N (Iceberg snapshot-diff stand-in); MERGE keeps prior rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.chunks import gorilla_chunks
+from ..operators.gapfill import stl_gapfill
+from ..operators.rollup import rollup_1m, rollup_tier, token_invariant_violations, with_event_time
+from ..session import get_spark
+from ..sources.sequences import SEQS_PER_BUCKET, generate_scale
+from ..sources.tables import KeyedTable
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sequences: DataFrame,
+    out_dir: str,
+    n_salts: int = 16,
+    stl_kwargs: dict | None = None,
+    do_gorilla: bool = True,
+    check_invariant: bool = True,
+) -> dict:
+    os.makedirs(out_dir, exist_ok=True)
+    metrics: dict = {}
+    t_start = time.time()
+
+    seq = with_event_time(sequences)
+
+    if check_invariant:
+        bad = token_invariant_violations(sequences).count()
+        assert bad == 0, f"token-array invariant violated on {bad} rows"
+        metrics["token_invariant_violations"] = bad
+
+    # raw -> 1m (salted two-phase agg)
+    r1m = rollup_1m(seq, n_salts=n_salts)
+    t_1m = KeyedTable(os.path.join(out_dir, "tier_1m"), ["source", "bucket"])
+    rec = t_1m.merge_upsert(spark, r1m, watermark_col="bucket")
+    metrics["tier_1m"] = rec
+
+    # STL gap-fill on the 1m series
+    cur_1m = t_1m.read(spark)
+    gap = stl_gapfill(cur_1m, **(stl_kwargs or {}))
+    t_gap = KeyedTable(os.path.join(out_dir, "gapfill_1m"), ["source", "bucket"])
+    rec = t_gap.merge_upsert(spark, gap, watermark_col="bucket")
+    metrics["gapfill_1m"] = rec
+
+    # tier cascade (re-aggregates the maintained 1m table, not the raw scan)
+    t_1h = KeyedTable(os.path.join(out_dir, "tier_1h"), ["source", "bucket"])
+    r1h = rollup_tier(cur_1m, "1h")
+    metrics["tier_1h"] = t_1h.merge_upsert(spark, r1h, watermark_col="bucket")
+    t_1d = KeyedTable(os.path.join(out_dir, "tier_1d"), ["source", "bucket"])
+    metrics["tier_1d"] = t_1d.merge_upsert(spark, rollup_tier(t_1h.read(spark), "1d"),
+                                           watermark_col="bucket")
+
+    if do_gorilla:
+        for tier, table in (("1m", t_1m), ("1h", t_1h), ("1d", t_1d)):
+            ch = gorilla_chunks(table.read(spark), "sum_n_tok")
+            t_ch = KeyedTable(os.path.join(out_dir, f"chunks_{tier}"),
+                              ["source", "chunk_start"])
+            metrics[f"chunks_{tier}"] = t_ch.merge_upsert(spark, ch)
+        # gap-filled series chunks (the decomposed signal, 1m)
+        gch = gorilla_chunks(t_gap.read(spark), "gapfilled")
+        t_gch = KeyedTable(os.path.join(out_dir, "chunks_gapfill_1m"),
+                           ["source", "chunk_start"])
+        metrics["chunks_gapfill_1m"] = t_gch.merge_upsert(spark, gch)
+
+    wall = time.time() - t_start
+    pts = (metrics["tier_1m"]["rows_in"] + metrics["tier_1h"]["rows_in"]
+           + metrics["tier_1d"]["rows_in"] + metrics["gapfill_1m"]["rows_in"])
+    metrics["summary"] = {
+        "wall_s": round(wall, 3),
+        "rolled_up_points": pts,
+        "points_per_sec": round(pts / wall, 1),
+    }
+    with open(os.path.join(out_dir, "_run_manifest.json"), "w") as f:
+        json.dump(metrics, f, indent=1, default=str)
+    return metrics
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="rollup + STL gap-fill + Gorilla pipeline")
+    from ..sources.sequences import SCALES
+    ap.add_argument("--scale", default="tiny", choices=sorted(SCALES),
+                    help="synthetic scale")
+    ap.add_argument("--sequences-path", default=None, help="read sequences parquet instead of generating")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--n-salts", type=int, default=16)
+    ap.add_argument("--since-bucket", type=int, default=None,
+                    help="incremental: only process bucket index >= N")
+    ap.add_argument("--no-gorilla", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(args.cpus, app_name="hastl-rollup-job")
+    if args.sequences_path:
+        seqs = spark.read.parquet(args.sequences_path)
+    else:
+        seqs = generate_scale(spark, args.scale)
+    if args.since_bucket is not None:
+        seq_no = F.split(F.col("doc_id"), "-").getItem(1).cast("long")
+        seqs = seqs.filter((seq_no / SEQS_PER_BUCKET).cast("long") >= args.since_bucket)
+
+    metrics = run_pipeline(spark, seqs, args.out, n_salts=args.n_salts,
+                           do_gorilla=not args.no_gorilla)
+    print(json.dumps(metrics["summary"]))
+
+
+if __name__ == "__main__":
+    main()

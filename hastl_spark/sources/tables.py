@@ -1,0 +1,129 @@
+"""Table layer: keyed MERGE-maintained tables over parquet directories.
+
+The production design is Iceberg (``MERGE INTO tier USING updates ON
+t.source = u.source AND t.bucket = u.bucket``, partition spec
+``(source, days(bucket))`` — SURVEY.md §2.1). This sandbox has no Iceberg
+runtime jar, so the same contract is provided over plain parquet
+directories with an ATOMIC JSON manifest (SURVEY.md §7 hard-part (c)):
+
+* data files are immutable; a ``_manifest.json`` names the visible data
+  directory per partition plus a snapshot id and per-partition watermarks;
+* MERGE = rewrite only the partitions present in the update set (update
+  rows win by key), publish by ``os.replace`` of the manifest — readers see
+  the old or the new snapshot, never a mix;
+* every merge appends a lineage record (snapshot, rows in/out, wall-clock,
+  watermark) — the per-partition checkpoint the north_rule requires.
+
+Partition column here is ``source`` (16 values at sandbox scale); at 100 TB
+the Iceberg spec adds a time bucket to bound rewrite amplification.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class KeyedTable:
+    def __init__(self, path: str, key_cols: list[str], partition_col: str = "source"):
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.partition_col = partition_col
+        os.makedirs(path, exist_ok=True)
+
+    # ---- manifest ----
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "_manifest.json")
+
+    def _load(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"snapshot": 0, "partitions": {}, "watermarks": {}, "lineage": []}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _publish(self, man: dict) -> None:
+        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1, default=str)
+        os.replace(tmp, self._manifest_path)  # atomic swap
+
+    def snapshot(self) -> int:
+        return self._load()["snapshot"]
+
+    def watermark(self, partition: str):
+        return self._load()["watermarks"].get(partition)
+
+    # ---- read ----
+    def read(self, spark: SparkSession) -> DataFrame:
+        man = self._load()
+        parts = man["partitions"]
+        if not parts:
+            raise ValueError(f"table {self.path} is empty")
+        dfs = []
+        for pval, rel in parts.items():
+            df = spark.read.parquet(os.path.join(self.path, rel))
+            dfs.append(df.withColumn(self.partition_col, F.lit(pval)))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def exists(self) -> bool:
+        return bool(self._load()["partitions"])
+
+    # ---- MERGE ----
+    def merge_upsert(self, spark: SparkSession, updates: DataFrame,
+                     watermark_col: str | None = None) -> dict:
+        """Upsert ``updates`` by key; only partitions present in the update
+        set are rewritten. Returns the lineage record."""
+        t0 = time.time()
+        man = self._load()
+        snap = man["snapshot"] + 1
+        pc = self.partition_col
+        updates = updates.cache()
+        parts = [r[0] for r in updates.select(pc).distinct().collect()]
+        rows_in = updates.count()
+
+        non_key = None
+        rows_out = 0
+        rel_base = os.path.join("data", f"s{snap:06d}")
+        for pval in parts:
+            upd_p = updates.filter(F.col(pc) == pval)
+            if str(pval) in man["partitions"]:
+                cur = spark.read.parquet(
+                    os.path.join(self.path, man["partitions"][str(pval)])
+                ).withColumn(pc, F.lit(pval))
+                join_keys = [k for k in self.key_cols]
+                keep = cur.join(upd_p.select(*join_keys).distinct(),
+                                on=join_keys, how="left_anti")
+                merged = keep.unionByName(upd_p.select(*keep.columns))
+            else:
+                merged = upd_p
+            rel = os.path.join(rel_base, f"{pc}={pval}")
+            merged.drop(pc).write.mode("overwrite").parquet(os.path.join(self.path, rel))
+            man["partitions"][str(pval)] = rel
+            rows_out += spark.read.parquet(os.path.join(self.path, rel)).count()
+            if watermark_col is not None:
+                wm = upd_p.agg(F.max(watermark_col)).collect()[0][0]
+                prev = man["watermarks"].get(str(pval))
+                man["watermarks"][str(pval)] = max(str(wm), prev) if prev else str(wm)
+        updates.unpersist()
+
+        record = {
+            "snapshot": snap,
+            "partitions": [str(p) for p in parts],
+            "rows_in": rows_in,
+            "rows_out_affected": rows_out,
+            "wall_s": round(time.time() - t0, 3),
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        man["snapshot"] = snap
+        man["lineage"].append(record)
+        self._publish(man)
+        return record

@@ -1,0 +1,138 @@
+"""Spark pipeline correctness (SURVEY.md §5.2 layer 3): rollup vs direct
+aggregation, gap-fill vs the NumPy oracle, tier composition, MERGE
+idempotence, Gorilla round-trip through the chunk operator."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hastl_spark.kernel import canonicalize_stl_params
+from hastl_spark.kernel.stl import stl_filt
+from hastl_spark.operators.chunks import decode_chunks, gorilla_chunks
+from hastl_spark.operators.densify import densify_grid
+from hastl_spark.operators.gapfill import stl_gapfill
+from hastl_spark.operators.rollup import (
+    rollup_1m,
+    rollup_tier,
+    token_invariant_violations,
+    with_event_time,
+)
+from hastl_spark.sources.sequences import generate_scale
+from hastl_spark.sources.tables import KeyedTable
+
+
+@pytest.fixture(scope="module")
+def seqs(spark):
+    df = generate_scale(spark, "xs").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def r1m(spark, seqs):
+    df = rollup_1m(with_event_time(seqs)).cache()
+    df.count()
+    return df
+
+
+def test_generator_deterministic_and_skewed(spark, seqs):
+    again = generate_scale(spark, "xs")
+    assert seqs.count() == again.count()
+    a = seqs.agg(F.expr("bit_xor(xxhash64(doc_id, n_tok))")).collect()[0][0]
+    b = again.agg(F.expr("bit_xor(xxhash64(doc_id, n_tok))")).collect()[0][0]
+    assert a == b
+    shares = dict(seqs.groupBy("source").count().collect())
+    total = sum(shares.values())
+    assert shares["src00"] / total > 0.45  # skew is real
+
+
+def test_token_invariant_holds(seqs):
+    assert token_invariant_violations(seqs).count() == 0
+
+
+def test_rollup_matches_unsalted_groupby(spark, seqs, r1m):
+    direct = (
+        with_event_time(seqs)
+        .groupBy("source", F.date_trunc("minute", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(F.col("n_tok").cast("long")).alias("sum_n_tok"))
+    )
+    diff = r1m.exceptAll(direct).count() + direct.exceptAll(r1m).count()
+    assert diff == 0
+
+
+def test_densify_grid_fills_gaps(spark, r1m):
+    dense = densify_grid(r1m)
+    per_src = dense.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cnt").isNull().cast("int")).alias("n_gaps"),
+        ((F.max("bucket").cast("long") - F.min("bucket").cast("long")) / 60 + 1).alias("expect"),
+    ).collect()
+    for r in per_src:
+        assert r["n"] == r["expect"]
+        assert r["n_gaps"] > 0  # generator injected gaps
+
+
+def test_gapfill_matches_kernel_oracle(spark, r1m):
+    stl_kwargs = dict(n_p=52, q_s=19, d_s=0, jump_s=1, jump_t=1, jump_l=1)
+    got = stl_gapfill(r1m, **stl_kwargs).toPandas().sort_values(["source", "bucket"])
+    pdf = r1m.toPandas()
+    for src, g in got.groupby("source"):
+        sub = pdf[pdf.source == src].sort_values("bucket")
+        grid = pd.date_range(sub.bucket.min(), sub.bucket.max(), freq="60s")
+        y = pd.Series(sub.sum_n_tok.astype("float64").values,
+                      index=pd.DatetimeIndex(sub.bucket)).reindex(grid).values
+        p = canonicalize_stl_params(len(y), 52, 19, d_s=0, jump_s=1, jump_t=1, jump_l=1)
+        S, T, R = stl_filt(y[None, :].astype(np.float32), p)
+        np.testing.assert_array_equal(g.seasonal.values.astype(np.float32), S[0])
+        np.testing.assert_array_equal(g.trend.values.astype(np.float32), T[0])
+        # gapfilled finite everywhere, equals y where present
+        nn = ~np.isnan(y)
+        np.testing.assert_array_equal(g.gapfilled.values[nn], y[nn])
+        assert np.isfinite(g.gapfilled.values).all()
+
+
+def test_tier_composition_exact(spark, seqs, r1m):
+    r1h = rollup_tier(r1m, "1h")
+    direct = (
+        with_event_time(seqs)
+        .groupBy("source", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(F.col("n_tok").cast("long")).alias("sum_n_tok"))
+    )
+    assert r1h.exceptAll(direct).count() + direct.exceptAll(r1h).count() == 0
+    r1d = rollup_tier(r1h, "1d")
+    assert r1d.agg(F.sum("cnt")).collect()[0][0] == seqs.count()
+
+
+def test_merge_idempotent_and_incremental(spark, r1m, tmp_path):
+    t = KeyedTable(str(tmp_path / "t1m"), ["source", "bucket"])
+    rec1 = t.merge_upsert(spark, r1m, watermark_col="bucket")
+    n1 = t.read(spark).count()
+    # idempotence: merging the same snapshot changes nothing
+    rec2 = t.merge_upsert(spark, r1m, watermark_col="bucket")
+    n2 = t.read(spark).count()
+    assert n1 == n2 == rec1["rows_in"]
+    # incremental upsert: bump one bucket's value, row count stable, value new
+    one = r1m.limit(1).withColumn("sum_n_tok", F.lit(999999).cast("long"))
+    t.merge_upsert(spark, one, watermark_col="bucket")
+    assert t.read(spark).count() == n1
+    key = one.collect()[0]
+    got = t.read(spark).filter(
+        (F.col("source") == key["source"]) & (F.col("bucket") == key["bucket"])
+    ).collect()[0]["sum_n_tok"]
+    assert got == 999999
+    assert t.snapshot() == 3
+
+
+def test_gorilla_chunks_roundtrip(spark, r1m):
+    chunks = gorilla_chunks(r1m, "sum_n_tok", max_points_per_chunk=100).toPandas()
+    pts = decode_chunks(chunks)
+    pdf = r1m.toPandas().sort_values(["source", "bucket"])
+    for src, g in pts.groupby("source"):
+        sub = pdf[pdf.source == src]
+        np.testing.assert_array_equal(
+            np.sort(g.ts.values), np.sort(sub.bucket.astype("int64").values // 10**9))
+        np.testing.assert_allclose(
+            np.sort(g.value.values), np.sort(sub.sum_n_tok.astype("float64").values))
+    # compression: well under raw 16 B/point
+    assert chunks["bytes"].sum() < 16 * chunks["n_points"].sum() / 2

@@ -1,0 +1,180 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale notes (the point of each design):
+  * exact: one hash-groupBy — map-side combine collapses duplicates before
+    the shuffle, so cost is ~unique keys, not rows;
+  * Jaccard: shingle-explode + self-join on shingle is quadratic only within
+    a shingle bucket; at 100 TB use MinHash/LSH instead;
+  * MinHash+LSH: k permutations via k seeded xxhash64 of each shingle
+    (aggregate-min — no UDF), banded into b buckets; candidate pairs only
+    join within a band bucket — linear-ish in corpus size;
+  * SimHash: 64-bit sign-aggregated shingle hashes; near-dup = small Hamming
+    distance, bucketable by bit-bands the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import char_ngrams
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts: (keep_id = min doc_id, dup_cnt) per distinct
+    text. SQL-oracle-able."""
+    return (
+        docs.groupBy(text_col)
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+        .select("keep_id", "dup_cnt")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All pairs (a < b) with |ngrams(a) ∩ ngrams(b)| / |union| >= threshold.
+
+    Exact but O(pairs-sharing-a-shingle); use on bounded candidate sets or
+    behind LSH. Shuffle keys are the shingles themselves.
+    """
+    grams = char_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, on="ngram")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 5, k: int = 32,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """k-permutation MinHash signature per doc: sig[j] = min over shingles of
+    xxhash64(shingle, j). Pure Catalyst (explode + groupBy(min))."""
+    grams = char_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
+    mins = [F.min(F.xxhash64(F.col("ngram"), F.lit(j))).alias(f"h{j}") for j in range(k)]
+    sig = grams.groupBy(id_col).agg(*mins)
+    return sig.select(F.col(id_col), F.array(*[f"h{j}" for j in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 5, k: int = 32, bands: int = 8,
+                      threshold: float = 0.5, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """MinHash LSH candidate generation + signature-similarity filter.
+
+    Bands of k/bands rows each; docs colliding in >=1 band become candidate
+    pairs (the only join is per-band on the band hash — linear-ish);
+    estimated Jaccard = fraction of matching signature positions.
+    """
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(docs, n=n, k=k, text_col=text_col, id_col=id_col).cache()
+    band_rows = sig.select(
+        id_col, "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(*[F.col("sig")[bi * r + j] for j in range(r)]).alias("bh"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bh")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(b, on=["band", "bh"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    match_frac = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(k)
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(match_frac, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(docs: DataFrame, n: int = 4, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over character n-grams: bit i of the hash is the sign
+    of the sum over shingles of (bit i ? +1 : -1). groupBy-sum per bit, then
+    bit-assemble — no UDF."""
+    grams = char_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
+    h = F.xxhash64("ngram")
+    sums = grams.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for i in range(64):
+        acc = acc.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        )
+    return sums.select(F.col(id_col), acc.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, n: int = 4,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, candidate-bucketed on
+    16-bit bands (a pair within hamming<=3 of a band must collide somewhere;
+    wider radii use more/rotated bands)."""
+    sh = simhash(docs, n=n, text_col=text_col, id_col=id_col).cache()
+    bands = sh.select(
+        id_col, "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.shiftright("simhash", bi * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                )
+                for bi in range(4)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

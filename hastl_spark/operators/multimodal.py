@@ -1,0 +1,91 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The decode/resize/frame-sample stages are STUBBED behind deterministic
+fakes (this container has no image/audio libraries) — the Spark-side
+contract (schema, batch shape, partitioning, UDF signature) is real and
+tested; swapping in a real decoder is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id string, kind string, payload binary, width int, height int, "
+    "duration_ms int"
+)
+
+FEATURE_SCHEMA = (
+    "media_id string, kind string, n_bytes long, feat array<float>, "
+    "thumb_w int, thumb_h int"
+)
+
+HAVE_REAL_DECODERS = False  # flip when PIL / av are installed
+
+
+def _fake_decode_features(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Deterministic stand-in for decode+feature-extract: a seeded projection
+    of the raw bytes. Replaces `PIL.Image.open(...)` etc.
+
+    Raises NotImplementedError if callers demand real decoding.
+    """
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if len(arr) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    chunks = np.array_split(arr.astype(np.float64), dim)
+    return np.array([c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32)
+
+
+def extract_features(media: DataFrame, dim: int = 8, thumb: int = 64,
+                     require_real: bool = False) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow batches arrive as pandas DataFrames; each batch is processed
+    vectorized-per-row over the binary payloads (the decode itself is
+    per-payload by nature). Output schema is fixed and typed.
+    """
+    if require_real and not HAVE_REAL_DECODERS:
+        raise NotImplementedError(
+            "real media decoding unavailable in this environment; "
+            "install PIL/av and set HAVE_REAL_DECODERS")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_decode_features(bytes(p) if p is not None else b"", dim)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [len(bytes(p)) if p is not None else 0 for p in pdf["payload"]],
+                "feat": [f.tolist() for f in feats],
+                "thumb_w": np.minimum(pdf["width"].fillna(0), thumb).astype("int32"),
+                "thumb_h": np.minimum(pdf["height"].fillna(0), thumb).astype("int32"),
+            })
+
+    return media.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests: payload = seeded bytes."""
+    df = spark.range(n).select(
+        F.concat(F.lit("m"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(
+            F.concat(F.lit("payload-"), F.repeat(F.col("id").cast("string"), 50)), "utf-8"
+        ).cast("binary").alias("payload"),
+        (F.pmod(F.xxhash64("id"), F.lit(1024)) + 16).cast("int").alias("width"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(768)) + 16).cast("int").alias("height"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(60000))).cast("int").alias("duration_ms"),
+    )
+    return df

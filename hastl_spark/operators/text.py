@@ -1,0 +1,102 @@
+"""Text-analysis operators for training-data pipelines over a ``documents``
+table (doc_id, text, lang, source, n_chars). All Catalyst-native expressions
+(whole-stage codegen; no Python in the hot path), each with an
+ANSI-SQL-expressible twin used as the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny stopword list used by both the quality score and the language guesser;
+# counts are computed with the portable (length - length(replace(...)))/len
+# trick so the DuckDB oracle can be expression-identical.
+EN_MARKERS = [" the ", " and ", " of ", " to ", " in "]
+PUNCT = [".", ",", "!", "?", ";", ":"]
+
+
+def _occurrences(col: Column, needle: str) -> Column:
+    return (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count: single-space split, exactly
+    len(string_split(text, ' ')) in DuckDB."""
+    return F.size(F.split(col, " ", -1))
+
+
+def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc stats: chars, tokens, punctuation count/ratio, stopword ratio,
+    mean token length — the quality-scoring feature set."""
+    c = F.col(text_col)
+    punct_cnt = None
+    for p in PUNCT:
+        e = _occurrences(c, p)
+        punct_cnt = e if punct_cnt is None else punct_cnt + e
+    stop_cnt = None
+    for s in EN_MARKERS:
+        e = _occurrences(c, s)
+        stop_cnt = e if stop_cnt is None else stop_cnt + e
+    toks = token_count(c)
+    return (
+        docs.withColumn("chars", F.length(c))
+        .withColumn("tokens_ws", toks)
+        .withColumn("punct_cnt", punct_cnt.cast("long"))
+        .withColumn("punct_ratio", F.round(punct_cnt / F.length(c), 6))
+        .withColumn("stopword_cnt", stop_cnt.cast("long"))
+        .withColumn("mean_tok_len", F.round((F.length(c) - toks + 1) / toks, 6))
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality heuristic in [0,1]: length band + stopword presence
+    + punctuation sanity. Deterministic arithmetic, SQL-expressible."""
+    d = with_text_stats(docs, text_col)
+    len_ok = F.when((F.col("chars") >= 64) & (F.col("chars") <= 4096), 1.0).otherwise(0.3)
+    stop_ok = F.when(F.col("stopword_cnt") >= 1, 1.0).otherwise(0.5)
+    punct_ok = F.when(F.col("punct_ratio") <= 0.1, 1.0).otherwise(0.6)
+    return d.withColumn("quality", F.round((len_ok + stop_ok + punct_ok) / 3.0, 6))
+
+
+def lang_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram-marker language heuristic: 'en' when English stopword density
+    clears a threshold, else 'other'. (The documents fixture carries a lang
+    column; this recomputes it from content.)"""
+    d = with_text_stats(docs, text_col)
+    density = F.col("stopword_cnt") / F.greatest(F.col("tokens_ws"), F.lit(1))
+    return d.withColumn(
+        "lang_guess", F.when(density >= 0.02, F.lit("en")).otherwise(F.lit("other"))
+    )
+
+
+def char_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Explode each doc into its distinct character n-grams (shingles) —
+    building block for Jaccard / MinHash dedup. sequence+transform+explode,
+    no UDF."""
+    c = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+        lambda i: F.substr(c, i, F.lit(n)),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("ngram"))
+        .filter(F.length("ngram") == n)
+    )
+
+
+def rolling_fingerprint(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", window: int = 8) -> DataFrame:
+    """Document fingerprint: min of a rolling polynomial hash over
+    ``window``-grams (winnowing-style 1-row summary). Catalyst-only:
+    aggregate() over the codepoint array."""
+    c = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (window - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.substr(c, i, F.lit(window))),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_min(grams).alias("fingerprint"),
+    )

@@ -1,0 +1,186 @@
+"""Training-data breadth operators vs DuckDB / NumPy ground truth on the
+driver's sf0.001 tables (documents, embeddings)."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hastl_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from hastl_spark.operators.multimodal import extract_features, synthetic_media
+from hastl_spark.operators.similarity import ann_topk, brute_force_topk, with_cosine
+from hastl_spark.operators.text import (
+    char_ngrams,
+    lang_guess,
+    quality_score,
+    rolling_fingerprint,
+    with_text_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    e.count()
+    return e
+
+
+def test_text_stats_match_duckdb(spark, docs):
+    got = with_text_stats(docs).select("doc_id", "chars", "tokens_ws", "punct_cnt").toPandas()
+    exp = duckdb.sql(f"""
+        select doc_id, length(text) chars, len(string_split(text, ' ')) tokens_ws,
+               cast(length(text) - length(replace(text,'.',''))
+                + length(text) - length(replace(text,',',''))
+                + length(text) - length(replace(text,'!',''))
+                + length(text) - length(replace(text,'?',''))
+                + length(text) - length(replace(text,';',''))
+                + length(text) - length(replace(text,':','')) as bigint) punct_cnt
+        from '{SF}/documents.parquet'
+    """).df()
+    m = got.sort_values("doc_id").reset_index(drop=True)
+    e = exp.sort_values("doc_id").reset_index(drop=True)
+    assert (m.chars.values == e.chars.values).all()
+    assert (m.tokens_ws.values == e.tokens_ws.values).all()
+    assert (m.punct_cnt.values == e.punct_cnt.values).all()
+
+
+def test_quality_and_lang_columns(spark, docs):
+    q = quality_score(docs).select("doc_id", "quality").toPandas()
+    assert q.quality.between(0, 1).all()
+    lg = lang_guess(docs).groupBy("lang_guess").count().collect()
+    assert sum(r["count"] for r in lg) == docs.count()
+
+
+def test_char_ngrams_match_duckdb(spark, docs):
+    got = (char_ngrams(docs.filter("doc_id < 20"), n=3)
+           .groupBy("doc_id").count().toPandas().sort_values("doc_id"))
+    exp = duckdb.sql(f"""
+        select doc_id, count(distinct substr(text, g, 3)) n
+        from '{SF}/documents.parquet',
+             unnest(range(1, greatest(length(text)-2,1)+1)) as u(g)
+        where doc_id < 20 and length(substr(text, g, 3)) = 3
+        group by doc_id order by doc_id
+    """).df()
+    assert (got["count"].values == exp["n"].values).all()
+
+
+def test_exact_dedup_with_planted_dups(spark, docs):
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    d2 = docs.unionByName(dup)
+    groups = exact_dup_groups(d2)
+    assert groups.count() == docs.count()  # distinct texts unchanged
+    assert groups.filter("dup_cnt = 2").count() == 5
+
+
+def test_jaccard_pairs_find_planted_near_dup(spark, docs):
+    base = docs.filter("doc_id < 50")
+    # plant: copy of doc 0 with a tiny suffix change
+    near = base.filter("doc_id = 0").select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+        "lang", "source", "n_chars")
+    d2 = base.select("doc_id", "text", "lang", "source", "n_chars").unionByName(near)
+    pairs = ngram_jaccard_pairs(d2, n=3, threshold=0.8).collect()
+    assert any(r.id_a == 0 and r.id_b == 900000 for r in pairs)
+    # jaccard of the planted pair should be ~1
+    j = [r.jaccard for r in pairs if r.id_a == 0 and r.id_b == 900000][0]
+    assert j > 0.95
+
+
+def test_minhash_lsh_recalls_near_dup_and_estimates_jaccard(spark, docs):
+    base = docs.filter("doc_id < 100")
+    near = base.filter("doc_id = 3").select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" y")).alias("text"),
+        "lang", "source", "n_chars")
+    d2 = base.select("doc_id", "text", "lang", "source", "n_chars").unionByName(near)
+    pairs = minhash_lsh_pairs(d2, n=5, k=32, bands=8, threshold=0.5).collect()
+    hit = [r for r in pairs if r.id_a == 3 and r.id_b == 900003]
+    assert hit and hit[0].est_jaccard > 0.7
+    sig = minhash_signatures(d2.filter("doc_id = 3"), n=5, k=32).collect()[0]["sig"]
+    assert len(sig) == 32
+
+
+def test_simhash_near_pairs(spark, docs):
+    base = docs.filter("doc_id < 100")
+    near = base.filter("doc_id = 7").select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" z")).alias("text"),
+        "lang", "source", "n_chars")
+    d2 = base.select("doc_id", "text", "lang", "source", "n_chars").unionByName(near)
+    sh = dict(simhash(d2.filter("doc_id in (7, 900007)")).collect())
+    assert bin(sh[7] ^ sh[900007]).count("1") <= 8
+    pairs = simhash_near_pairs(d2, max_hamming=8).collect()
+    assert any(r.id_a == 7 and r.id_b == 900007 for r in pairs)
+
+
+def test_fingerprint_deterministic(spark, docs):
+    a = rolling_fingerprint(docs.filter("doc_id < 20")).toPandas().sort_values("doc_id")
+    b = rolling_fingerprint(docs.filter("doc_id < 20")).toPandas().sort_values("doc_id")
+    assert (a.fingerprint.values == b.fingerprint.values).all()
+
+
+def test_brute_force_topk_matches_numpy(spark, embs):
+    got = brute_force_topk(embs, embs.filter("vec_id < 3"), k=5).toPandas()
+    pdf = embs.toPandas().sort_values("vec_id")
+    M = np.stack(pdf.embedding.values).astype(np.float64)
+    ids = pdf.vec_id.values
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for q in range(3):
+        sims = Mn @ Mn[ids == q].T
+        sims = sims.ravel()
+        sims[ids == q] = -np.inf
+        top = ids[np.argsort(-sims)][:5]
+        mine = got[got.query_id == q].sort_values("rank").neighbor_id.values
+        assert list(mine) == list(top)
+
+
+def test_ann_topk_recall_against_exact(spark, embs):
+    exact = brute_force_topk(embs, embs.filter("vec_id < 10"), k=5).toPandas()
+    approx = ann_topk(embs, embs.filter("vec_id < 10"), dim=64, k=5,
+                      n_bits=16, bands=8).toPandas()
+    # recall@5 over 10 queries: LSH with 8 bands of 2 bits is generous
+    hits = 0
+    for q in range(10):
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        hits += len(e & a)
+    assert hits / 50 >= 0.6
+
+
+def test_cosine_self_is_one(spark, embs):
+    d = embs.select("vec_id", "embedding").limit(10)
+    c = with_cosine(d.withColumn("e2", F.col("embedding")), "embedding", "e2").toPandas()
+    np.testing.assert_allclose(c.cosine.values, 1.0, rtol=1e-6)
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, 32)
+    feats = extract_features(media, dim=8).toPandas()
+    assert len(feats) == 32
+    assert set(feats.kind) == {"image", "audio", "video"}
+    assert all(len(f) == 8 for f in feats.feat)
+    assert (feats.n_bytes > 0).all()
+    assert (feats.thumb_w <= 64).all()
+    # determinism
+    again = extract_features(media, dim=8).toPandas().sort_values("media_id")
+    f0 = feats.sort_values("media_id")
+    assert all(np.array_equal(a, b) for a, b in zip(f0.feat.values, again.feat.values))
+    with pytest.raises(NotImplementedError):
+        extract_features(media, require_real=True)

@@ -13,14 +13,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def densify_grid(rollup: DataFrame, bucket_seconds: int = 60) -> DataFrame:
-    """rollup(source, bucket, ...) -> one row per (source, grid bucket),
-    null metrics at gaps. Grid spans each source's [min, max] bucket."""
-    bounds = rollup.groupBy("source").agg(
+def densify_grid(rollup: DataFrame, bucket_seconds: int = 60,
+                 key_col: str = "source") -> DataFrame:
+    """rollup(key, bucket, ...) -> one row per (key, grid bucket),
+    null metrics at gaps. Grid spans each key's [min, max] bucket."""
+    bounds = rollup.groupBy(key_col).agg(
         F.min("bucket").alias("b_min"), F.max("bucket").alias("b_max")
     )
     grid = bounds.select(
-        "source",
+        key_col,
         F.explode(
             F.sequence(
                 F.col("b_min"),
@@ -31,4 +32,4 @@ def densify_grid(rollup: DataFrame, bucket_seconds: int = 60) -> DataFrame:
     )
     # AQE handles residual skew; both sides are (source,bucket)-keyed so the
     # join co-partitions with the upstream aggregation's output.
-    return grid.join(rollup, ["source", "bucket"], "left")
+    return grid.join(rollup, [key_col, "bucket"], "left")

@@ -40,6 +40,7 @@ def stl_gapfill(
     jump_l: int = 1,
     n_inner: int = 2,
     n_outer: int = 1,
+    key_col: str = "source",
     **extra_params,
 ) -> DataFrame:
     """rollup(source, bucket, cnt, value_col) -> densified + decomposed series.
@@ -67,7 +68,7 @@ def stl_gapfill(
             # series too short for a seasonal fit: pass through, no decomposition
             nanv = np.full(n, np.nan)
             return pd.DataFrame({
-                "source": source, "bucket": grid, "y": y,
+                key_col: source, "bucket": grid, "y": y,
                 "seasonal": nanv, "trend": nanv, "remainder": nanv,
                 "gapfilled": y, "cnt": cnt.values,
             })
@@ -76,9 +77,10 @@ def stl_gapfill(
         S, T, R = S[0].astype(np.float64), T[0].astype(np.float64), R[0].astype(np.float64)
         gapfilled = np.where(np.isnan(y), S + T, y)
         return pd.DataFrame({
-            "source": source, "bucket": grid, "y": y,
+            key_col: source, "bucket": grid, "y": y,
             "seasonal": S, "trend": T, "remainder": R,
             "gapfilled": gapfilled, "cnt": cnt.values,
         })
 
-    return rollup.groupBy("source").applyInPandas(fn, GAPFILL_SCHEMA)
+    schema = GAPFILL_SCHEMA.replace("source string", f"{key_col} string")
+    return rollup.groupBy(key_col).applyInPandas(fn, schema)

@@ -66,11 +66,12 @@ def rollup_1m(df: DataFrame, n_salts: int = 16, value_col: str = "n_tok") -> Dat
 
 
 def rollup_tier(lower: DataFrame, tier: str,
-                cnt_col: str = "cnt", sum_col: str = "sum_n_tok") -> DataFrame:
+                cnt_col: str = "cnt", sum_col: str = "sum_n_tok",
+                key_col: str = "source") -> DataFrame:
     """tier N -> tier N+1 re-aggregation: sums/counts compose exactly
     (SURVEY.md §2.4 'tier rollup'). Pure Catalyst."""
     trunc = TIER_TRUNC[tier]
     return (
-        lower.groupBy("source", F.date_trunc(trunc, F.col("bucket")).alias("bucket"))
-        .agg(F.sum(cnt_col).alias("cnt"), F.sum(sum_col).alias("sum_n_tok"))
+        lower.groupBy(key_col, F.date_trunc(trunc, F.col("bucket")).alias("bucket"))
+        .agg(F.sum(cnt_col).alias("cnt"), F.sum(sum_col).alias(sum_col))
     )

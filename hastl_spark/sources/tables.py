@@ -87,39 +87,47 @@ class KeyedTable:
         snap = man["snapshot"] + 1
         pc = self.partition_col
         updates = updates.cache()
-        parts = [r[0] for r in updates.select(pc).distinct().collect()]
-        rows_in = updates.count()
 
-        non_key = None
-        rows_out = 0
-        rel_base = os.path.join("data", f"s{snap:06d}")
-        for pval in parts:
-            upd_p = updates.filter(F.col(pc) == pval)
-            if str(pval) in man["partitions"]:
-                cur = spark.read.parquet(
+        # one small driver-side collect: affected partitions + watermarks + rows_in
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        if watermark_col is not None:
+            aggs.append(F.max(watermark_col).alias("_wm"))
+        stats = {r[0]: r for r in updates.groupBy(pc).agg(*aggs).collect()}
+        parts = list(stats)
+        rows_in = sum(r["_n"] for r in stats.values())
+
+        # single merged write for ALL affected partitions (one Spark job):
+        # keep current rows whose key is not updated, union the updates,
+        # write partitioned by the partition column under the new snapshot.
+        existing = [p for p in parts if str(p) in man["partitions"]]
+        if existing:
+            cur = None
+            for pval in existing:
+                d = spark.read.parquet(
                     os.path.join(self.path, man["partitions"][str(pval)])
                 ).withColumn(pc, F.lit(pval))
-                join_keys = [k for k in self.key_cols]
-                keep = cur.join(upd_p.select(*join_keys).distinct(),
-                                on=join_keys, how="left_anti")
-                merged = keep.unionByName(upd_p.select(*keep.columns))
-            else:
-                merged = upd_p
-            rel = os.path.join(rel_base, f"{pc}={pval}")
-            merged.drop(pc).write.mode("overwrite").parquet(os.path.join(self.path, rel))
-            man["partitions"][str(pval)] = rel
-            rows_out += spark.read.parquet(os.path.join(self.path, rel)).count()
+                cur = d if cur is None else cur.unionByName(d)
+            keep = cur.join(updates.select(*self.key_cols).distinct(),
+                            on=self.key_cols, how="left_anti")
+            merged = keep.unionByName(updates.select(*keep.columns))
+        else:
+            merged = updates
+        rel_base = os.path.join("data", f"s{snap:06d}")
+        merged.write.mode("overwrite").partitionBy(pc).parquet(
+            os.path.join(self.path, rel_base))
+
+        for pval in parts:
+            man["partitions"][str(pval)] = os.path.join(rel_base, f"{pc}={pval}")
             if watermark_col is not None:
-                wm = upd_p.agg(F.max(watermark_col)).collect()[0][0]
+                wm = str(stats[pval]["_wm"])
                 prev = man["watermarks"].get(str(pval))
-                man["watermarks"][str(pval)] = max(str(wm), prev) if prev else str(wm)
+                man["watermarks"][str(pval)] = max(wm, prev) if prev else wm
         updates.unpersist()
 
         record = {
             "snapshot": snap,
             "partitions": [str(p) for p in parts],
             "rows_in": rows_in,
-            "rows_out_affected": rows_out,
             "wall_s": round(time.time() - t0, 3),
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }

@@ -60,19 +60,22 @@ class KeyedTable:
         return self._load()["watermarks"].get(partition)
 
     # ---- read ----
+    def _read_dirs(self, spark: SparkSession, rels) -> DataFrame:
+        """One multi-path scan over the visible partition leaf dirs (a single
+        file listing + plan instead of one read call per partition). The
+        partition column travels INSIDE the files as ``_pk`` — partition
+        dirs from different snapshots have different depths-by-name, which
+        breaks Spark's partition discovery, so we don't rely on it."""
+        paths = [os.path.abspath(os.path.join(self.path, rel)) for rel in rels]
+        df = spark.read.parquet(*paths)
+        return df.withColumnRenamed("_pk", self.partition_col)
+
     def read(self, spark: SparkSession) -> DataFrame:
         man = self._load()
         parts = man["partitions"]
         if not parts:
             raise ValueError(f"table {self.path} is empty")
-        dfs = []
-        for pval, rel in parts.items():
-            df = spark.read.parquet(os.path.join(self.path, rel))
-            dfs.append(df.withColumn(self.partition_col, F.lit(pval)))
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
-        return out
+        return self._read_dirs(spark, parts.values())
 
     def exists(self) -> bool:
         return bool(self._load()["partitions"])
@@ -101,20 +104,22 @@ class KeyedTable:
         # write partitioned by the partition column under the new snapshot.
         existing = [p for p in parts if str(p) in man["partitions"]]
         if existing:
-            cur = None
-            for pval in existing:
-                d = spark.read.parquet(
-                    os.path.join(self.path, man["partitions"][str(pval)])
-                ).withColumn(pc, F.lit(pval))
-                cur = d if cur is None else cur.unionByName(d)
+            cur = self._read_dirs(spark, [man["partitions"][str(p)] for p in existing])
             keep = cur.join(updates.select(*self.key_cols).distinct(),
                             on=self.key_cols, how="left_anti")
             merged = keep.unionByName(updates.select(*keep.columns))
         else:
             merged = updates
         rel_base = os.path.join("data", f"s{snap:06d}")
-        merged.write.mode("overwrite").partitionBy(pc).parquet(
-            os.path.join(self.path, rel_base))
+        # cluster rows by the partition column before the partitioned write:
+        # without this, every shuffle partition spills a file into every
+        # partition dir (shuffle_partitions x |partitions| tiny files) and
+        # downstream scans pay per-file task overhead. At cluster scale this
+        # would instead target a file-size budget per partition.
+        (merged.withColumn("_pk", F.col(pc))
+         .repartition(F.col(pc))
+         .write.mode("overwrite").partitionBy(pc)
+         .parquet(os.path.join(self.path, rel_base)))
 
         for pval in parts:
             man["partitions"][str(pval)] = os.path.join(rel_base, f"{pc}={pval}")

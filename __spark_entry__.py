@@ -249,6 +249,21 @@ def q_media_features(spark, sf_dir):
     return extract_features(synthetic_media(spark, 128), dim=8)
 
 
+def q_loess_smooth_1h(spark, sf_dir):
+    """Standalone LOESS smoothing of the hourly value series (reference
+    LOESS.fit twin, loess.fut:768-811)."""
+    from hastl_spark.operators.densify import densify_grid
+    from hastl_spark.operators.loess import loess_smooth
+
+    h1 = _rollup_events_1h_raw(spark, sf_dir)
+    dense = densify_grid(h1, bucket_seconds=3600, key_col="event_type")
+    series = dense.select("event_type", "bucket", F.col("sum_value").alias("y"))
+    sm = loess_smooth(series, q=25, degree=1, jump=1,
+                      key_col="event_type", order_col="bucket")
+    return sm.select("event_type", "bucket", F.round("y", 4).alias("y"),
+                     F.round("smoothed", 4).alias("smoothed"))
+
+
 def q_trend_strength(spark, sf_dir):
     """Per-event_type trend magnitude + seasonal amplitude of the hourly
     count series (reference entries stl.fut:481-500), via mapInPandas over
@@ -303,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_norm": q_label_centroid_norm,
         # rows-only (no SQL equivalent)
         "stl_gapfill_1h": q_stl_gapfill_1h,
+        "loess_smooth_1h": q_loess_smooth_1h,
         "gorilla_chunks_1h": q_gorilla_chunks_1h,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,

@@ -48,6 +48,12 @@ def gorilla_chunks(tier_df: DataFrame, value_col: str,
             })
         return pd.DataFrame(rows)
 
+    # pin grouped-map parallelism (see gapfill.py: AQE would coalesce the
+    # small tier table into ~1 task otherwise)
+    from pyspark.sql import functions as F
+
+    n_parts = tier_df.sparkSession.sparkContext.defaultParallelism * 2
+    tier_df = tier_df.repartition(n_parts, F.col("source"))
     return tier_df.groupBy("source").applyInPandas(fn, CHUNK_SCHEMA)
 
 

@@ -83,4 +83,13 @@ def stl_gapfill(
         })
 
     schema = GAPFILL_SCHEMA.replace("source string", f"{key_col} string")
+    # Pin the grouped-map parallelism: the rolled-up input is small in bytes,
+    # so AQE's partition coalescing would funnel every group into one or two
+    # tasks and serialize the STL kernels. An explicit hash repartition by
+    # the group key keeps one task per key-bucket (the groupBy reuses this
+    # exchange — no extra shuffle) and scales with the session's cores.
+    import pyspark.sql.functions as F
+
+    n_parts = rollup.sparkSession.sparkContext.defaultParallelism * 2
+    rollup = rollup.repartition(n_parts, F.col(key_col))
     return rollup.groupBy(key_col).applyInPandas(fn, schema)

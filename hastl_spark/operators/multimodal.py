@@ -73,6 +73,58 @@ def extract_features(media: DataFrame, dim: int = 8, thumb: int = 64,
     return media.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "media_id string, kind string, out_w int, out_h int, thumb binary"
+FRAME_SCHEMA = "media_id string, frame_idx int, frame_ts_ms int, frame binary"
+
+
+def resize_thumbnails(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Decode -> resize -> re-encode thumbnails. Decode/encode are stubbed
+    (deterministic byte slice standing in for pixel data); the aspect-ratio
+    math, schema, and Arrow batching are the real contract."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].fillna(1).astype("int64").clip(lower=1)
+            h = pdf["height"].fillna(1).astype("int64").clip(lower=1)
+            scale = np.minimum(1.0, max_side / np.maximum(w, h))
+            ow = np.maximum(1, (w * scale).astype("int64"))
+            oh = np.maximum(1, (h * scale).astype("int64"))
+            thumbs = [
+                bytes(p)[: max(1, int(a * b))] if p is not None else b"\0"
+                for p, a, b in zip(pdf["payload"], ow, oh)
+            ]  # stub: real impl = PIL resize + JPEG encode
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "kind": pdf["kind"],
+                "out_w": ow.astype("int32"), "out_h": oh.astype("int32"),
+                "thumb": thumbs,
+            })
+
+    return media.mapInPandas(fn, RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  max_frames: int = 8) -> DataFrame:
+    """Frame sampling for video rows: emit up to ``max_frames`` evenly
+    spaced frame records per video (1 input row -> N output rows — the
+    flat-map shape). Frame decode is stubbed with a deterministic slice."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf[pdf["kind"] == "video"].iterrows():
+                dur = int(r["duration_ms"] or 0)
+                n = min(max_frames, max(1, dur // every_ms))
+                payload = bytes(r["payload"]) if r["payload"] is not None else b"\0"
+                for i in range(n):
+                    ts = i * every_ms
+                    off = (i * 31) % max(1, len(payload))
+                    rows.append((r["media_id"], i, ts, payload[off:off + 16]))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
+                                              "frame_ts_ms", "frame"])
+
+    return media.mapInPandas(fn, FRAME_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests: payload = seeded bytes."""
     df = spark.range(n).select(

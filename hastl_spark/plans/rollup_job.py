@@ -22,12 +22,12 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.chunks import gorilla_chunks
-from ..operators.gapfill import stl_gapfill
-from ..operators.rollup import rollup_1m, rollup_tier, token_invariant_violations, with_event_time
-from ..session import get_spark
-from ..sources.sequences import SEQS_PER_BUCKET, generate_scale
-from ..sources.tables import KeyedTable
+from hastl_spark.operators.chunks import gorilla_chunks
+from hastl_spark.operators.gapfill import stl_gapfill
+from hastl_spark.operators.rollup import rollup_1m, rollup_tier, token_invariant_violations, with_event_time
+from hastl_spark.session import get_spark
+from hastl_spark.sources.sequences import SEQS_PER_BUCKET, generate_scale
+from hastl_spark.sources.tables import KeyedTable
 
 
 def run_pipeline(
@@ -46,9 +46,25 @@ def run_pipeline(
     seq = with_event_time(sequences)
 
     if check_invariant:
-        bad = token_invariant_violations(sequences).count()
-        assert bad == 0, f"token-array invariant violated on {bad} rows"
-        metrics["token_invariant_violations"] = bad
+        # single scan over the post-row-stage frame: (a) n_tok must equal the
+        # token-array length on every row; (b) an order-insensitive SAMPLED
+        # content checksum (doc_id, length, first + last token) is recorded
+        # in the lineage — it catches drops, truncation and reordering by any
+        # row-level stage at ~IO cost. A FULL per-element hash over the token
+        # arrays costs 2-5x the whole pipeline at scale (Spark hashes array
+        # elements outside codegen), so full-fidelity equality is asserted in
+        # the pytest suite at small scale instead (tests/test_pipeline_spark).
+        row = seq.selectExpr(
+            "sum(CASE WHEN size(tokens) <> n_tok AND size(tokens) >= 0 "
+            "THEN 1 ELSE 0 END) AS bad",
+            "bit_xor(CASE WHEN size(tokens) > 0 THEN xxhash64(doc_id, n_tok, "
+            "element_at(tokens, 1), element_at(tokens, size(tokens))) "
+            "ELSE xxhash64(doc_id, n_tok) END) AS chk",
+        ).collect()[0]
+        assert (row["bad"] or 0) == 0, \
+            f"token-array invariant violated on {row['bad']} rows"
+        metrics["token_invariant_violations"] = int(row["bad"] or 0)
+        metrics["token_checksum"] = str(row["chk"])
 
     # raw -> 1m (salted two-phase agg)
     r1m = rollup_1m(seq, n_salts=n_salts)
@@ -98,7 +114,7 @@ def run_pipeline(
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="rollup + STL gap-fill + Gorilla pipeline")
-    from ..sources.sequences import SCALES
+    from hastl_spark.sources.sequences import SCALES
     ap.add_argument("--scale", default="tiny", choices=sorted(SCALES),
                     help="synthetic scale")
     ap.add_argument("--sequences-path", default=None, help="read sequences parquet instead of generating")

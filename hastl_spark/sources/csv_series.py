@@ -1,0 +1,29 @@
+"""CSV series source — engine twin of the reference's bulk-CSV example
+(examples/bulk_csv.py:16-27): select value columns, zeros-as-missing, one
+series per column, batch-ready for the STL kernel or gap-fill operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_series_csv(spark: SparkSession, path: str, value_cols: list[str],
+                    zero_as_nan: bool = True, header: bool = True) -> DataFrame:
+    """Returns long-form (series string, idx long, y double): column name as
+    the series key, file order as the integer time axis (the reference's
+    implicit index), 0 -> null when ``zero_as_nan`` (bulk_csv.py:24-27)."""
+    df = (
+        spark.read.option("header", str(header).lower())
+        .option("inferSchema", "true").csv(path)
+    )
+    idx = F.monotonically_increasing_id().alias("idx")
+    df = df.select(idx, *value_cols)
+    stack_expr = ", ".join(f"'{c}', `{c}`" for c in value_cols)
+    long = df.selectExpr(
+        "idx", f"stack({len(value_cols)}, {stack_expr}) AS (series, y)"
+    ).select("series", "idx", F.col("y").cast("double").alias("y"))
+    if zero_as_nan:
+        long = long.withColumn("y", F.when(F.col("y") == 0, None).otherwise(F.col("y")))
+    return long

@@ -128,6 +128,10 @@ SCALES = {
     "tiny": (4, 2000, 16.0, 64, 2048),
     "small": (16, 5000, 96.0, 16, 128),
     "medium": (16, 20000, 128.0, 16, 128),
+    # scaling-efficiency input: enough series (64) that grouped-map stages
+    # keep every core busy at local[32], and enough rows (~56M) that the
+    # scan+aggregate dominates fixed overhead
+    "scaling": (64, 10000, 512.0, 16, 128),
 }
 
 

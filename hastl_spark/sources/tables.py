@@ -140,3 +140,21 @@ class KeyedTable:
         man["lineage"].append(record)
         self._publish(man)
         return record
+
+    def vacuum(self) -> int:
+        """Delete data dirs no longer referenced by the manifest (superseded
+        snapshots). Safe w.r.t. the atomic manifest: current readers resolved
+        their file list from a manifest that only names live dirs. Returns
+        the number of removed snapshot dirs."""
+        import shutil
+
+        man = self._load()
+        live = {rel.split(os.sep)[1] for rel in man["partitions"].values()}
+        data_root = os.path.join(self.path, "data")
+        removed = 0
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                if d not in live:
+                    shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                    removed += 1
+        return removed

@@ -170,6 +170,21 @@ def test_cosine_self_is_one(spark, embs):
     np.testing.assert_allclose(c.cosine.values, 1.0, rtol=1e-6)
 
 
+def test_multimodal_resize_and_frames(spark):
+    from hastl_spark.operators.multimodal import resize_thumbnails, sample_frames
+
+    media = synthetic_media(spark, 30)
+    th = resize_thumbnails(media, max_side=64).toPandas()
+    assert len(th) == 30
+    assert (th.out_w <= 64).all() and (th.out_h <= 64).all()
+    assert (th.out_w >= 1).all()
+    fr = sample_frames(media, every_ms=5000, max_frames=4).toPandas()
+    n_videos = media.filter("kind = 'video'").count()
+    assert fr.media_id.nunique() == n_videos
+    assert (fr.groupby("media_id").size() <= 4).all()
+    assert (fr.frame_ts_ms % 5000 == 0).all()
+
+
 def test_multimodal_plumbing(spark):
     media = synthetic_media(spark, 32)
     feats = extract_features(media, dim=8).toPandas()

@@ -51,6 +51,16 @@ def test_token_invariant_holds(seqs):
     assert token_invariant_violations(seqs).count() == 0
 
 
+def test_token_arrays_bitexact_through_row_stage(spark, seqs):
+    """FULL-fidelity token-array equality (BASELINE.json input_hint) across
+    the row-level event-time stage, at test scale (the pipeline uses a
+    sampled checksum at scale — see rollup_job.run_pipeline)."""
+    chk = "bit_xor(xxhash64(doc_id, tokens)) AS c"
+    pre = seqs.selectExpr(chk).collect()[0]["c"]
+    post = with_event_time(seqs).selectExpr(chk).collect()[0]["c"]
+    assert pre == post
+
+
 def test_rollup_matches_unsalted_groupby(spark, seqs, r1m):
     direct = (
         with_event_time(seqs)

@@ -187,6 +187,15 @@ def q_embeddings_knn(spark, sf_dir):
     )
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs on a bounded subset (the LSH
+    variant is exercised rows-only via ann_topk)."""
+    from hastl_spark.operators.dedup import embedding_near_dups
+
+    embs = _embs(spark, sf_dir).filter("vec_id < 400")
+    return embedding_near_dups(embs, threshold=0.4, use_lsh=False)
+
+
 def q_label_centroid_norm(spark, sf_dir):
     """Per-label mean-embedding norm — aggregate over array column via
     posexplode + regroup (array aggregation pattern)."""
@@ -315,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "embeddings_knn": q_embeddings_knn,
+        "embedding_near_dups": q_embedding_near_dups,
         "label_centroid_norm": q_label_centroid_norm,
         # rows-only (no SQL equivalent)
         "stl_gapfill_1h": q_stl_gapfill_1h,
@@ -470,6 +480,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id
                         ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
             FROM scored QUALIFY rank <= 5
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 400 AND b.vec_id < 400
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         """,
         "label_centroid_norm": """
             WITH per_dim AS (

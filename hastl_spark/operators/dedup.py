@@ -120,6 +120,50 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 5, k: int = 32, bands: int = 8,
     )
 
 
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
+                        dim: int | None = None, use_lsh: bool = True,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    ``use_lsh=True`` (the scale path) generates candidates via sign-random-
+    projection band collisions and re-ranks exactly; ``False`` scores every
+    pair (exact, quadratic — only for bounded inputs / oracles)."""
+    from .similarity import _dot, _norm, lsh_signatures
+
+    if use_lsh:
+        assert dim is not None
+        sigs = lsh_signatures(embeddings, dim, n_bits=16, id_col=id_col, vec_col=vec_col)
+        r, mask = 4, (1 << 4) - 1
+        bands = sigs.select(
+            id_col, vec_col,
+            F.explode(F.array(*[
+                F.struct(F.lit(bi).alias("band"),
+                         F.shiftright("sig", bi * r).bitwiseAND(F.lit(mask)).alias("bh"))
+                for bi in range(4)
+            ])).alias("bb"),
+        ).select(id_col, vec_col, "bb.band", "bb.bh")
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(b, ["band", "bh"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col(f"a.{vec_col}").alias("va"),
+                    F.col(f"b.{vec_col}").alias("vb"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        cand.withColumn("cosine", _dot(F.col("va"), F.col("vb"))
+                        / (_norm(F.col("va")) * _norm(F.col("vb"))))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 def simhash(docs: DataFrame, n: int = 4, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over character n-grams: bit i of the hash is the sign

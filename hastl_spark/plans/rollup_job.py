@@ -124,6 +124,10 @@ def main(argv=None):
     ap.add_argument("--since-bucket", type=int, default=None,
                     help="incremental: only process bucket index >= N")
     ap.add_argument("--no-gorilla", action="store_true")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="timed pipeline executions in this session (bench)")
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="discarded in-session warmup executions (JIT/codegen)")
     args = ap.parse_args(argv)
 
     spark = get_spark(args.cpus, app_name="hastl-rollup-job")
@@ -135,9 +139,28 @@ def main(argv=None):
         seq_no = F.split(F.col("doc_id"), "-").getItem(1).cast("long")
         seqs = seqs.filter((seq_no / SEQS_PER_BUCKET).cast("long") >= args.since_bucket)
 
-    metrics = run_pipeline(spark, seqs, args.out, n_salts=args.n_salts,
-                           do_gorilla=not args.no_gorilla)
-    print(json.dumps(metrics["summary"]))
+    if args.repeat == 1 and args.warmup == 0:
+        metrics = run_pipeline(spark, seqs, args.out, n_salts=args.n_salts,
+                               do_gorilla=not args.no_gorilla)
+        print(json.dumps(metrics["summary"]))
+        return
+
+    # bench mode: warmup + repeated timed executions in ONE session, so JVM
+    # JIT / codegen / python-worker startup are excluded from the timings
+    import shutil
+
+    walls = []
+    pts = 0
+    for i in range(args.warmup + args.repeat):
+        out = f"{args.out}_r{i}"
+        shutil.rmtree(out, ignore_errors=True)
+        metrics = run_pipeline(spark, seqs, out, n_salts=args.n_salts,
+                               do_gorilla=not args.no_gorilla)
+        shutil.rmtree(out, ignore_errors=True)
+        if i >= args.warmup:
+            walls.append(metrics["summary"]["wall_s"])
+            pts = metrics["summary"]["rolled_up_points"]
+    print(json.dumps({"walls": walls, "rolled_up_points": pts}))
 
 
 if __name__ == "__main__":

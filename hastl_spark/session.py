@@ -29,6 +29,12 @@ def get_spark(cpus: int | None = None, shuffle_partitions: int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
+        # parquet's Hadoop vectored-IO path funnels every task's reads
+        # through one small shared thread pool — on a many-core local
+        # filesystem it serializes array-column scans (measured 4x slowdown
+        # at local[32]); plain per-task reads scale. Revisit per filesystem
+        # on a real cluster (S3/HDFS benefit from vectored coalescing).
+        .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

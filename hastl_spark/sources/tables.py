@@ -89,50 +89,77 @@ class KeyedTable:
         man = self._load()
         snap = man["snapshot"] + 1
         pc = self.partition_col
-        updates = updates.cache()
 
-        # one small driver-side collect: affected partitions + watermarks + rows_in
+        # Stage the updates FIRST: the (potentially expensive) updates plan
+        # executes exactly once, straight into a partitioned staging write —
+        # no cache and no separate stats pre-pass (both would re-execute or
+        # materialize the full plan). Affected partitions are then discovered
+        # from the staged dir names, merged with their current data (a scan
+        # over already-aggregated, table-sized files), and published.
+        # Clustering rows by the partition column before partitionBy keeps
+        # one file per partition — without it every shuffle partition spills
+        # a file into every partition dir and downstream scans pay per-file
+        # task overhead. At cluster scale this becomes a file-size budget.
+        rel_base = os.path.join("data", f"s{snap:06d}")
+        if not man["partitions"]:
+            # first snapshot: the staged write IS the table
+            (updates.withColumn("_pk", F.col(pc))
+             .repartition(F.col(pc))
+             .write.mode("overwrite").partitionBy(pc)
+             .parquet(os.path.join(self.path, rel_base)))
+            parts = [d.split("=", 1)[1]
+                     for d in os.listdir(os.path.join(self.path, rel_base))
+                     if d.startswith(f"{pc}=")]
+        else:
+            rel_stage = rel_base + "_stage"
+            stage_dir = os.path.join(self.path, rel_stage)
+            (updates.withColumn("_pk", F.col(pc))
+             .repartition(F.col(pc))
+             .write.mode("overwrite").partitionBy(pc)
+             .parquet(stage_dir))
+            parts = [d.split("=", 1)[1] for d in os.listdir(stage_dir)
+                     if d.startswith(f"{pc}=")]
+            staged = self._read_dirs(
+                spark, [os.path.join(rel_stage, f"{pc}={p}") for p in parts])
+
+            existing = [p for p in parts if p in man["partitions"]]
+            if existing:
+                cur = self._read_dirs(spark, [man["partitions"][p] for p in existing])
+                keep = cur.join(staged.select(*self.key_cols).distinct(),
+                                on=self.key_cols, how="left_anti")
+                merged = keep.unionByName(staged.select(*keep.columns))
+            else:
+                merged = staged
+            (merged.withColumn("_pk", F.col(pc))
+             .repartition(F.col(pc))
+             .write.mode("overwrite").partitionBy(pc)
+             .parquet(os.path.join(self.path, rel_base)))
+
+        # watermarks + row counts from one tiny scan of the written table data
         aggs = [F.count(F.lit(1)).alias("_n")]
         if watermark_col is not None:
             aggs.append(F.max(watermark_col).alias("_wm"))
-        stats = {r[0]: r for r in updates.groupBy(pc).agg(*aggs).collect()}
-        parts = list(stats)
-        rows_in = sum(r["_n"] for r in stats.values())
+        written = self._read_dirs(
+            spark, [os.path.join(rel_base, f"{pc}={p}") for p in parts])
+        stats = {str(r[0]): r for r in written.groupBy(pc).agg(*aggs).collect()}
+        rows = sum(r["_n"] for r in stats.values())
+        if man["partitions"]:
+            import shutil as _sh
 
-        # single merged write for ALL affected partitions (one Spark job):
-        # keep current rows whose key is not updated, union the updates,
-        # write partitioned by the partition column under the new snapshot.
-        existing = [p for p in parts if str(p) in man["partitions"]]
-        if existing:
-            cur = self._read_dirs(spark, [man["partitions"][str(p)] for p in existing])
-            keep = cur.join(updates.select(*self.key_cols).distinct(),
-                            on=self.key_cols, how="left_anti")
-            merged = keep.unionByName(updates.select(*keep.columns))
-        else:
-            merged = updates
-        rel_base = os.path.join("data", f"s{snap:06d}")
-        # cluster rows by the partition column before the partitioned write:
-        # without this, every shuffle partition spills a file into every
-        # partition dir (shuffle_partitions x |partitions| tiny files) and
-        # downstream scans pay per-file task overhead. At cluster scale this
-        # would instead target a file-size budget per partition.
-        (merged.withColumn("_pk", F.col(pc))
-         .repartition(F.col(pc))
-         .write.mode("overwrite").partitionBy(pc)
-         .parquet(os.path.join(self.path, rel_base)))
+            _sh.rmtree(os.path.join(self.path, rel_base + "_stage"),
+                       ignore_errors=True)
 
         for pval in parts:
-            man["partitions"][str(pval)] = os.path.join(rel_base, f"{pc}={pval}")
+            man["partitions"][pval] = os.path.join(rel_base, f"{pc}={pval}")
             if watermark_col is not None:
                 wm = str(stats[pval]["_wm"])
-                prev = man["watermarks"].get(str(pval))
-                man["watermarks"][str(pval)] = max(wm, prev) if prev else wm
-        updates.unpersist()
+                prev = man["watermarks"].get(pval)
+                man["watermarks"][pval] = max(wm, prev) if prev else wm
 
         record = {
             "snapshot": snap,
-            "partitions": [str(p) for p in parts],
-            "rows_in": rows_in,
+            "partitions": sorted(parts),
+            "rows_in": rows,
             "wall_s": round(time.time() - t0, 3),
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }

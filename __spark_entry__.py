@@ -252,6 +252,15 @@ def q_ann_topk(spark, sf_dir):
     return ann_topk(embs, embs.filter("vec_id < 8"), dim=64, k=5, n_bits=16, bands=8)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer, n_probe cells) — rows-only."""
+    from hastl_spark.operators.ivf import ivf_topk, train_centroids
+
+    embs = _embs(spark, sf_dir)
+    C = train_centroids(embs, dim=64, n_lists=16)
+    return ivf_topk(embs, embs.filter("vec_id < 8"), C, k=5, n_probe=4)
+
+
 def q_media_features(spark, sf_dir):
     from hastl_spark.operators.multimodal import extract_features, synthetic_media
 
@@ -334,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "fingerprints": q_fingerprints,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "trend_strength": q_trend_strength,
     }

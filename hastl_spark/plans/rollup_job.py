@@ -88,16 +88,21 @@ def run_pipeline(
                                            watermark_col="bucket")
 
     if do_gorilla:
+        # ONE unified chunk table keyed (source, tier, chunk_start): the four
+        # per-tier chunk streams union into a single MERGE (one write job
+        # instead of four — chunk rows are tiny, job latency dominated)
+        parts = []
         for tier, table in (("1m", t_1m), ("1h", t_1h), ("1d", t_1d)):
-            ch = gorilla_chunks(table.read(spark), "sum_n_tok")
-            t_ch = KeyedTable(os.path.join(out_dir, f"chunks_{tier}"),
-                              ["source", "chunk_start"])
-            metrics[f"chunks_{tier}"] = t_ch.merge_upsert(spark, ch)
-        # gap-filled series chunks (the decomposed signal, 1m)
-        gch = gorilla_chunks(t_gap.read(spark), "gapfilled")
-        t_gch = KeyedTable(os.path.join(out_dir, "chunks_gapfill_1m"),
-                           ["source", "chunk_start"])
-        metrics["chunks_gapfill_1m"] = t_gch.merge_upsert(spark, gch)
+            parts.append(gorilla_chunks(table.read(spark), "sum_n_tok")
+                         .withColumn("tier", F.lit(tier)))
+        parts.append(gorilla_chunks(t_gap.read(spark), "gapfilled")
+                     .withColumn("tier", F.lit("gapfill_1m")))
+        chunks = parts[0]
+        for p in parts[1:]:
+            chunks = chunks.unionByName(p)
+        t_ch = KeyedTable(os.path.join(out_dir, "chunks"),
+                          ["source", "tier", "chunk_start"])
+        metrics["chunks"] = t_ch.merge_upsert(spark, chunks)
 
     wall = time.time() - t_start
     pts = (metrics["tier_1m"]["rows_in"] + metrics["tier_1h"]["rows_in"]

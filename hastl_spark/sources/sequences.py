@@ -132,6 +132,9 @@ SCALES = {
     # keep every core busy at local[32], and enough rows (~56M) that the
     # scan+aggregate dominates fixed overhead
     "scaling": (64, 10000, 512.0, 16, 128),
+    # ~320M rows: compute must dominate fixed per-job latency for the
+    # scaling-efficiency measurement to mean anything
+    "xl": (64, 20000, 768.0, 8, 24),
 }
 
 

@@ -65,9 +65,17 @@ class KeyedTable:
         file listing + plan instead of one read call per partition). The
         partition column travels INSIDE the files as ``_pk`` — partition
         dirs from different snapshots have different depths-by-name, which
-        breaks Spark's partition discovery, so we don't rely on it."""
+        breaks Spark's partition discovery, so we don't rely on it. The
+        manifest carries the file schema after the first write, so the
+        driver skips footer-read schema inference on every open."""
         paths = [os.path.abspath(os.path.join(self.path, rel)) for rel in rels]
-        df = spark.read.parquet(*paths)
+        reader = spark.read
+        schema_json = self._load().get("schema")
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        df = reader.parquet(*paths)
         return df.withColumnRenamed("_pk", self.partition_col)
 
     def read(self, spark: SparkSession) -> DataFrame:
@@ -156,10 +164,60 @@ class KeyedTable:
                 prev = man["watermarks"].get(pval)
                 man["watermarks"][pval] = max(wm, prev) if prev else wm
 
+        if "schema" not in man:
+            # record the FILE schema (pc travels as _pk) so future reads
+            # skip footer-based schema inference
+            from pyspark.sql.types import StructField, StructType
+
+            pcf = next(f for f in updates.schema.fields if f.name == pc)
+            fields = ([f for f in updates.schema.fields if f.name != pc]
+                      + [StructField("_pk", pcf.dataType, True)])
+            man["schema"] = json.dumps(StructType(fields).jsonValue())
+
         record = {
             "snapshot": snap,
             "partitions": sorted(parts),
             "rows_in": rows,
+            "wall_s": round(time.time() - t0, 3),
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        man["snapshot"] = snap
+        man["lineage"].append(record)
+        self._publish(man)
+        return record
+
+    def overwrite(self, spark: SparkSession, df: DataFrame,
+                  watermark_col: str | None = None) -> dict:
+        """Replace the whole table contents with ``df`` as a new snapshot
+        (same atomic publish as merge; used by retention). Partitions absent
+        from ``df`` are dropped from the manifest."""
+        t0 = time.time()
+        man = self._load()
+        snap = man["snapshot"] + 1
+        pc = self.partition_col
+        rel_base = os.path.join("data", f"s{snap:06d}")
+        (df.withColumn("_pk", F.col(pc))
+         .repartition(F.col(pc))
+         .write.mode("overwrite").partitionBy(pc)
+         .parquet(os.path.join(self.path, rel_base)))
+        data_dir = os.path.join(self.path, rel_base)
+        parts = [d.split("=", 1)[1] for d in os.listdir(data_dir)
+                 if d.startswith(f"{pc}=")]
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        if watermark_col is not None:
+            aggs.append(F.max(watermark_col).alias("_wm"))
+        written = self._read_dirs(
+            spark, [os.path.join(rel_base, f"{pc}={p}") for p in parts])
+        stats = {str(r[0]): r for r in written.groupBy(pc).agg(*aggs).collect()}
+        man["partitions"] = {
+            p: os.path.join(rel_base, f"{pc}={p}") for p in parts}
+        if watermark_col is not None:
+            man["watermarks"] = {p: str(stats[p]["_wm"]) for p in parts}
+        record = {
+            "snapshot": snap,
+            "op": "overwrite",
+            "partitions": sorted(parts),
+            "rows_in": sum(r["_n"] for r in stats.values()),
             "wall_s": round(time.time() - t0, 3),
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }

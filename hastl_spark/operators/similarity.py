@@ -11,9 +11,8 @@
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -78,7 +77,6 @@ def lsh_signatures(embeddings: DataFrame, dim: int, n_bits: int = 16, seed: int 
     (batch x dim) @ (dim x n_bits) — the textbook justified pandas-UDF case:
     n_bits separate Catalyst dot-product expressions analyze and execute
     ~10x slower than one BLAS call per batch."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     planes = np.asarray(random_hyperplanes(dim, n_bits, seed), dtype=np.float64).T

@@ -20,7 +20,7 @@ def read_series_csv(spark: SparkSession, path: str, value_cols: list[str],
     )
     idx = F.monotonically_increasing_id().alias("idx")
     df = df.select(idx, *value_cols)
-    stack_expr = ", ".join(f"'{c}', `{c}`" for c in value_cols)
+    stack_expr = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in value_cols)
     long = df.selectExpr(
         "idx", f"stack({len(value_cols)}, {stack_expr}) AS (series, y)"
     ).select("series", "idx", F.col("y").cast("double").alias("y"))

@@ -187,6 +187,15 @@ def q_embeddings_knn(spark, sf_dir):
     )
 
 
+def q_minhash_portable(spark, sf_dir):
+    """MinHash signatures with SQL-portable permutations (value-checked,
+    unlike the xxhash64-based LSH variant)."""
+    from hastl_spark.operators.dedup import minhash_signatures_portable
+
+    docs = _docs(spark, sf_dir).filter("doc_id < 300")
+    return minhash_signatures_portable(docs, n=5, k=16)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Exact embedding-cosine near-dup pairs on a bounded subset (the LSH
     variant is exercised rows-only via ann_topk)."""
@@ -332,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang": q_docs_lang,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
+        "minhash_portable": q_minhash_portable,
         "embeddings_knn": q_embeddings_knn,
         "embedding_near_dups": q_embedding_near_dups,
         "label_centroid_norm": q_label_centroid_norm,
@@ -491,6 +501,9 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
             FROM scored QUALIFY rank <= 5
         """,
+        "minhash_portable": __import__("hastl_spark.operators.dedup",
+                                       fromlist=["minhash_portable_oracle_sql"]
+                                       ).minhash_portable_oracle_sql(n=5, k=16, max_doc=300),
         "embedding_near_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine

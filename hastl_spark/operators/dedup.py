@@ -164,6 +164,63 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     )
 
 
+_MINHASH_P = 1_000_000_007
+# fixed permutation parameters (seeded once, embedded as literals so the
+# DuckDB oracle can reproduce the arithmetic bit-for-bit)
+_MINHASH_AB = [
+    (886440568, 693772870), (106837194, 211243613), (41423861, 788723974),
+    (553720484, 797340444), (405034125, 83829406), (94693512, 80723471),
+    (733430966, 433567125), (267553171, 644981661), (51125674, 265652308),
+    (637217599, 940465001), (914115009, 185486536), (914804300, 951429528),
+    (371094253, 699127560), (74519607, 63169688), (591552712, 279340021),
+    (172645147, 416966817),
+]
+
+
+def _poly_hash_sql(col: str, n: int) -> str:
+    """Portable polynomial hash of a length-n string: identical integer
+    arithmetic in Spark SQL and DuckDB (ascii(), *, %, +)."""
+    terms = " + ".join(
+        f"CAST(ascii(substr({col}, {i + 1}, 1)) AS BIGINT) * {31 ** (n - 1 - i)}"
+        for i in range(n)
+    )
+    return f"(({terms}) % {_MINHASH_P})"
+
+
+def minhash_signatures_portable(docs: DataFrame, n: int = 5, k: int = 16,
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature with SQL-portable permutations: sig_j = min over
+    distinct n-grams g of (a_j * poly(g) + b_j) mod P — value-checkable
+    against an ANSI-SQL oracle, unlike the xxhash64 variant."""
+    assert k <= len(_MINHASH_AB)
+    grams = char_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
+    poly = _poly_hash_sql("ngram", n)
+    aggs = [
+        F.expr(f"min(({a} * {poly} + {b}) % {_MINHASH_P})").alias(f"h{j}")
+        for j, (a, b) in enumerate(_MINHASH_AB[:k])
+    ]
+    return grams.groupBy(id_col).agg(*aggs)
+
+
+def minhash_portable_oracle_sql(n: int = 5, k: int = 16, max_doc: int = 300) -> str:
+    """The DuckDB twin of :func:`minhash_signatures_portable` (ord == ascii)."""
+    poly = _poly_hash_sql("ngram", n).replace("ascii(", "ord(")
+    mins = ",\n                   ".join(
+        f"min(({a} * {poly} + {b}) % {_MINHASH_P}) AS h{j}"
+        for j, (a, b) in enumerate(_MINHASH_AB[:k])
+    )
+    return f"""
+        WITH grams AS (
+          SELECT DISTINCT doc_id, substr(text, g, {n}) AS ngram
+          FROM documents, unnest(range(1, greatest(length(text) - {n - 1}, 1) + 1)) AS u(g)
+          WHERE doc_id < {max_doc} AND length(substr(text, g, {n})) = {n}
+        )
+        SELECT doc_id, {mins}
+        FROM grams GROUP BY doc_id
+    """
+
+
 def simhash(docs: DataFrame, n: int = 4, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over character n-grams: bit i of the hash is the sign

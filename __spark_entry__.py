@@ -16,17 +16,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hastl_spark.operators.dedup import exact_dup_groups, minhash_lsh_pairs, ngram_jaccard_pairs, simhash
+from hastl_spark.operators.dedup import exact_dup_groups, minhash_lsh_pairs, ngram_jaccard_pairs
 from hastl_spark.operators.densify import densify_grid
 from hastl_spark.operators.gapfill import stl_gapfill
 from hastl_spark.operators.rollup import rollup_tier
 from hastl_spark.operators.similarity import ann_topk, brute_force_topk
-from hastl_spark.operators.text import (
-    lang_guess,
-    quality_score,
-    rolling_fingerprint,
-    with_text_stats,
-)
+from hastl_spark.operators.text import lang_guess, quality_score, with_text_stats
 
 # ---------------------------------------------------------------- helpers
 
@@ -235,12 +230,20 @@ def q_stl_gapfill_1h(spark, sf_dir):
     )
 
 
-def q_gorilla_chunks_1h(spark, sf_dir):
-    from hastl_spark.operators.chunks import gorilla_chunks
+def q_gorilla_roundtrip_1h(spark, sf_dir):
+    """Gorilla codec identity: encode the hourly tier into chunks, decode the
+    chunks back to points — value-checked against the plain hourly-rollup SQL
+    (so delta-of-delta + XOR-float encode/decode is bit-exact end to end)."""
+    from hastl_spark.operators.chunks import decode_chunks_df, gorilla_chunks
 
     h1 = _rollup_events_1h_raw(spark, sf_dir).withColumnRenamed("event_type", "source")
     ch = gorilla_chunks(h1, "sum_value")
-    return ch.select("source", "chunk_start", "n_points", "bytes", "crc32")
+    pts = decode_chunks_df(ch)
+    return pts.select(
+        "source",
+        F.timestamp_seconds("ts").alias("bucket"),
+        F.round("value", 4).alias("sum_value"),
+    )
 
 
 def q_minhash_pairs(spark, sf_dir):
@@ -248,12 +251,20 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_pairs(docs, n=5, k=32, bands=8, threshold=0.35)
 
 
-def q_simhash(spark, sf_dir):
-    return simhash(_docs(spark, sf_dir).filter("doc_id < 300"))
+def q_simhash_portable(spark, sf_dir):
+    """SimHash with SQL-portable per-bit hashes (value-checked; the faster
+    xxhash64 variant is exercised by tests + simhash_near_pairs)."""
+    from hastl_spark.operators.dedup import simhash_portable
+
+    return simhash_portable(_docs(spark, sf_dir).filter("doc_id < 300"))
 
 
-def q_fingerprints(spark, sf_dir):
-    return rolling_fingerprint(_docs(spark, sf_dir))
+def q_fingerprints_portable(spark, sf_dir):
+    """Winnowing fingerprint with a SQL-portable rolling hash (value-checked
+    twin of rolling_fingerprint)."""
+    from hastl_spark.operators.text import fingerprint_portable
+
+    return fingerprint_portable(_docs(spark, sf_dir))
 
 
 def q_ann_topk(spark, sf_dir):
@@ -261,19 +272,31 @@ def q_ann_topk(spark, sf_dir):
     return ann_topk(embs, embs.filter("vec_id < 8"), dim=64, k=5, n_bits=16, bands=8)
 
 
-def q_ivf_topk(spark, sf_dir):
-    """IVF ANN (k-means coarse quantizer, n_probe cells) — rows-only."""
+def q_ivf_topk_full(spark, sf_dir):
+    """IVF ANN at full probe (n_probe == n_lists): exercises the whole IVF
+    machinery (train, assign, cell join, re-rank) while being provably equal
+    to exact kNN — so it shares the brute-force oracle. The approximate
+    n_probe<n_lists path is covered by tests/test_ivf.py recall checks."""
     from hastl_spark.operators.ivf import ivf_topk, train_centroids
 
     embs = _embs(spark, sf_dir)
     C = train_centroids(embs, dim=64, n_lists=16)
-    return ivf_topk(embs, embs.filter("vec_id < 8"), C, k=5, n_probe=4)
+    return ivf_topk(embs, embs.filter("vec_id < 8"), C, k=5, n_probe=16).select(
+        "query_id", "neighbor_id", "rank"
+    )
 
 
 def q_media_features(spark, sf_dir):
+    """Multimodal feature extraction (mapInPandas over binary payloads) —
+    posexploded to scalar rows so every column is sortable/hashable, and
+    value-checked: the deterministic fake decoder (chunked byte means) is
+    reproducible in ANSI SQL."""
     from hastl_spark.operators.multimodal import extract_features, synthetic_media
 
-    return extract_features(synthetic_media(spark, 128), dim=8)
+    feats = extract_features(synthetic_media(spark, 128), dim=8)
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.posexplode("feat").alias("pos", "feat_v")
+    ).withColumn("feat_v", F.round(F.col("feat_v").cast("double"), 4))
 
 
 def q_loess_smooth_1h(spark, sf_dir):
@@ -345,16 +368,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_knn": q_embeddings_knn,
         "embedding_near_dups": q_embedding_near_dups,
         "label_centroid_norm": q_label_centroid_norm,
-        # rows-only (no SQL equivalent)
+        "gorilla_roundtrip_1h": q_gorilla_roundtrip_1h,
+        "simhash_portable": q_simhash_portable,
+        "fingerprints_portable": q_fingerprints_portable,
+        "ivf_topk_full": q_ivf_topk_full,
+        "media_features": q_media_features,
+        # rows-only (no SQL equivalent: STL/LOESS kernels, xxhash64 LSH)
         "stl_gapfill_1h": q_stl_gapfill_1h,
         "loess_smooth_1h": q_loess_smooth_1h,
-        "gorilla_chunks_1h": q_gorilla_chunks_1h,
         "minhash_pairs": q_minhash_pairs,
-        "simhash": q_simhash,
-        "fingerprints": q_fingerprints,
         "ann_topk": q_ann_topk,
-        "ivf_topk": q_ivf_topk,
-        "media_features": q_media_features,
         "trend_strength": q_trend_strength,
     }
 
@@ -418,7 +441,8 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS is_start
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
-            SELECT user_id, sum(is_start) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(sum(is_start) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM g GROUP BY 1
         """,
         "lineitem_pricing": """
@@ -519,5 +543,62 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT label, round(sqrt(sum(mean_v * mean_v)), 4) AS centroid_norm
             FROM per_dim GROUP BY 1
+        """,
+        # gorilla encode->decode must reproduce the hourly tier exactly
+        "gorilla_roundtrip_1h": """
+            SELECT event_type AS source, date_trunc('hour', ts) AS bucket,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "simhash_portable": __import__("hastl_spark.operators.dedup",
+                                       fromlist=["simhash_portable_oracle_sql"]
+                                       ).simhash_portable_oracle_sql(n=4, bits=32,
+                                                                     max_doc=300),
+        "fingerprints_portable": __import__("hastl_spark.operators.text",
+                                            fromlist=["fingerprint_portable_oracle_sql"]
+                                            ).fingerprint_portable_oracle_sql(window=8),
+        # IVF at n_probe == n_lists is provably exact kNN -> same oracle shape
+        # as embeddings_knn
+        "ivf_topk_full": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                       FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qvec, e.embedding) AS cosine
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored QUALIFY rank <= 5
+        """,
+        # deterministic fake decoder: feat[pos] = mean of the pos-th of 8
+        # np.array_split chunks of the payload bytes; payload is
+        # 'payload-' || repeat(id, 50) (pure ASCII, so bytes == ascii codes).
+        # CAST(.. AS REAL) reproduces the float32 truncation of array<float>.
+        "media_features": """
+            WITH m AS (
+              SELECT i AS id,
+                     'm' || lpad(CAST(i AS VARCHAR), 6, '0') AS media_id,
+                     CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                          WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     'payload-' || repeat(CAST(i AS VARCHAR), 50) AS s
+              FROM range(0, 128) t(i)
+            ), b AS (
+              SELECT media_id, kind, s, length(s) AS L FROM m
+            ), ch AS (
+              SELECT media_id, kind, s, L, CAST(p.pos AS INT) AS pos,
+                     (L // 8) + CASE WHEN p.pos < (L % 8) THEN 1 ELSE 0 END AS cnt,
+                     p.pos * (L // 8) + least(p.pos, L % 8) AS strt
+              FROM b, unnest(generate_series(0, 7)) p(pos)
+            ), v AS (
+              SELECT media_id, kind, L, pos,
+                     avg(ascii(substr(s, CAST(strt + q.j AS INT), 1))) AS mean_v
+              FROM ch, unnest(generate_series(1, CAST(cnt AS INT))) q(j)
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT media_id, kind, CAST(L AS BIGINT) AS n_bytes, pos,
+                   round(CAST(CAST(mean_v AS REAL) AS DOUBLE), 4) AS feat_v
+            FROM v
         """,
     }

@@ -57,6 +57,25 @@ def gorilla_chunks(tier_df: DataFrame, value_col: str,
     return tier_df.groupBy("source").applyInPandas(fn, CHUNK_SCHEMA)
 
 
+def decode_chunks_df(chunks: DataFrame) -> DataFrame:
+    """Distributed read path: chunk rows -> (source, ts, value) points via
+    Arrow-batched mapInPandas (each chunk decodes independently, so this
+    scales with the chunk table's partitioning; no shuffle)."""
+    from .gorilla import decode
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for src, blob in zip(pdf["source"], pdf["blob"]):
+                ts, vals = decode(bytes(blob))
+                out.append(pd.DataFrame({"source": src, "ts": ts, "value": vals}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return chunks.select("source", "blob").mapInPandas(
+        fn, "source string, ts long, value double")
+
+
 def decode_chunks(chunks_pdf: pd.DataFrame) -> pd.DataFrame:
     """Verification read path: chunk rows -> (source, ts, value) points."""
     from .gorilla import decode

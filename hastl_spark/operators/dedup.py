@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import char_ngrams
+from .text import char_ngrams, poly_hash_sql
 
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text",
@@ -177,14 +177,8 @@ _MINHASH_AB = [
 ]
 
 
-def _poly_hash_sql(col: str, n: int) -> str:
-    """Portable polynomial hash of a length-n string: identical integer
-    arithmetic in Spark SQL and DuckDB (ascii(), *, %, +)."""
-    terms = " + ".join(
-        f"CAST(ascii(substr({col}, {i + 1}, 1)) AS BIGINT) * {31 ** (n - 1 - i)}"
-        for i in range(n)
-    )
-    return f"(({terms}) % {_MINHASH_P})"
+# portable polynomial hash shared with text.py (P == _MINHASH_P)
+_poly_hash_sql = poly_hash_sql
 
 
 def minhash_signatures_portable(docs: DataFrame, n: int = 5, k: int = 16,
@@ -217,6 +211,73 @@ def minhash_portable_oracle_sql(n: int = 5, k: int = 16, max_doc: int = 300) -> 
           WHERE doc_id < {max_doc} AND length(substr(text, g, {n})) = {n}
         )
         SELECT doc_id, {mins}
+        FROM grams GROUP BY doc_id
+    """
+
+
+# fixed per-bit hash parameters for the portable SimHash (seeded once,
+# embedded as literals so the DuckDB oracle reproduces the arithmetic)
+_SIMHASH_AB = [
+    (57459530, 137596189), (151414461, 800884184),
+    (595836597, 735838885), (502055723, 539546779),
+    (467583033, 625387226), (395126660, 202042416),
+    (428794634, 197830031), (482649950, 314280606),
+    (545035167, 895068956), (228602064, 52726749),
+    (53649110, 711805700), (996163875, 472056440),
+    (561152944, 447912079), (563209533, 656254629),
+    (870175264, 862130251), (703756534, 568657153),
+    (918274365, 313047726), (540567042, 521327570),
+    (308568728, 391224288), (303454382, 801783431),
+    (921210765, 830440230), (292124189, 943790985),
+    (259120307, 856618643), (479876312, 980106210),
+    (62446651, 749373108), (234691659, 667471614),
+    (353002877, 248464539), (816109283, 609667904),
+    (546955907, 981412219), (158173472, 886891971),
+    (630167820, 444279892), (297023740, 481337776),
+]
+
+
+def _simhash_bit_sum_sql(a: int, b: int, poly: str) -> str:
+    """±1 vote for one SimHash bit: parity of an independent affine hash."""
+    return (f"sum(CASE WHEN (({a} * {poly} + {b}) % {_MINHASH_P}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END)")
+
+
+def simhash_portable(docs: DataFrame, n: int = 4, bits: int = 32,
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash whose per-bit hash family is the portable polynomial hash —
+    value-checkable against an ANSI-SQL oracle (the xxhash64 variant
+    :func:`simhash` is faster but not reproducible outside Spark)."""
+    assert bits <= len(_SIMHASH_AB)
+    grams = char_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
+    poly = _poly_hash_sql("ngram", n)
+    aggs = [
+        F.expr(_simhash_bit_sum_sql(a, b, poly)).alias(f"b{j}")
+        for j, (a, b) in enumerate(_SIMHASH_AB[:bits])
+    ]
+    sums = grams.groupBy(id_col).agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        acc = acc + F.when(F.col(f"b{j}") > 0,
+                           F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sums.select(F.col(id_col), acc.alias("simhash"))
+
+
+def simhash_portable_oracle_sql(n: int = 4, bits: int = 32, max_doc: int = 300) -> str:
+    """DuckDB twin of :func:`simhash_portable`."""
+    poly = _poly_hash_sql("ngram", n)
+    terms = "\n                 + ".join(
+        f"(CASE WHEN {_simhash_bit_sum_sql(a, b, poly)} > 0 "
+        f"THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j, (a, b) in enumerate(_SIMHASH_AB[:bits])
+    )
+    return f"""
+        WITH grams AS (
+          SELECT DISTINCT doc_id, substr(text, g, {n}) AS ngram
+          FROM documents, unnest(range(1, greatest(length(text) - {n - 1}, 1) + 1)) AS u(g)
+          WHERE doc_id < {max_doc} AND length(substr(text, g, {n})) = {n}
+        )
+        SELECT doc_id, ({terms}) AS simhash
         FROM grams GROUP BY doc_id
     """
 

@@ -28,10 +28,15 @@ from .similarity import _dot, _norm
 
 def train_centroids(embeddings: DataFrame, dim: int, n_lists: int = 16,
                     sample: int = 4096, iters: int = 10, seed: int = 42,
-                    vec_col: str = "embedding") -> np.ndarray:
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
     """Seeded mini k-means on a driver-side sample. Returns [n_lists, dim]
-    L2-normalized centroids (cosine cells)."""
-    pdf = (embeddings.select(vec_col).limit(sample).toPandas())
+    L2-normalized centroids (cosine cells).
+
+    The sample is the ``sample`` lowest-id vectors (orderBy + limit =
+    TakeOrdered, one pass, no full sort) so training is deterministic on a
+    real multi-executor cluster, not just in local mode."""
+    pdf = (embeddings.select(id_col, vec_col).orderBy(id_col)
+           .limit(sample).toPandas())
     X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

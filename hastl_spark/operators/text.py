@@ -86,6 +86,47 @@ def char_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
     )
 
 
+POLY_P = 1_000_000_007
+# base-31 polynomial string hash — identical integer arithmetic in Spark SQL
+# and DuckDB (ascii(), *, %, +), so operators built on it are value-checkable
+# against an ANSI-SQL oracle.
+
+
+def poly_hash_sql(col: str, n: int) -> str:
+    """Portable polynomial hash of a length-n string as a SQL expression."""
+    terms = " + ".join(
+        f"CAST(ascii(substr({col}, {i + 1}, 1)) AS BIGINT) * {31 ** (n - 1 - i)}"
+        for i in range(n)
+    )
+    return f"(({terms}) % {POLY_P})"
+
+
+def fingerprint_portable(docs: DataFrame, window: int = 8,
+                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Winnowing-style 1-row document fingerprint: min over the doc's
+    distinct ``window``-grams of a portable polynomial hash — the
+    SQL-value-checkable twin of :func:`rolling_fingerprint`."""
+    grams = char_ngrams(docs, n=window, text_col=text_col, id_col=id_col)
+    return grams.groupBy(id_col).agg(
+        F.expr(f"min({poly_hash_sql('ngram', window)})").alias("fingerprint")
+    )
+
+
+def fingerprint_portable_oracle_sql(window: int = 8) -> str:
+    """DuckDB twin of :func:`fingerprint_portable`."""
+    poly = poly_hash_sql("ngram", window)
+    return f"""
+        WITH grams AS (
+          SELECT DISTINCT doc_id, substr(text, g, {window}) AS ngram
+          FROM documents,
+               unnest(range(1, greatest(length(text) - {window - 1}, 1) + 1)) AS u(g)
+          WHERE length(substr(text, g, {window})) = {window}
+        )
+        SELECT doc_id, min({poly}) AS fingerprint
+        FROM grams GROUP BY doc_id
+    """
+
+
 def rolling_fingerprint(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", window: int = 8) -> DataFrame:
     """Document fingerprint: min of a rolling polynomial hash over

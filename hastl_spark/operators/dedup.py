@@ -24,9 +24,17 @@ from .text import char_ngrams, poly_hash_sql
 def exact_dup_groups(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Group identical texts: (keep_id = min doc_id, dup_cnt) per distinct
-    text. SQL-oracle-able."""
+    text. SQL-oracle-able (GROUP BY text is equivalent barring a 64-bit
+    hash+length collision).
+
+    The groupBy key is (xxhash64(text), length(text)) — NOT the text itself —
+    so the shuffle carries 16 bytes per row instead of the document body; at
+    corpus scale the byte volume through the wire drops by the mean doc size.
+    Map-side combine still collapses same-partition duplicates first."""
     return (
-        docs.groupBy(text_col)
+        docs.groupBy(
+            F.xxhash64(text_col).alias("_th"), F.length(text_col).alias("_tl")
+        )
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
         .select("keep_id", "dup_cnt")
     )
@@ -122,26 +130,50 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 5, k: int = 32, bands: int = 8,
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         dim: int | None = None, use_lsh: bool = True,
+                        n_bits: int = 64, n_bands: int = 4,
+                        max_bucket: int | None = 4096,
                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
     ``use_lsh=True`` (the scale path) generates candidates via sign-random-
     projection band collisions and re-ranks exactly; ``False`` scores every
-    pair (exact, quadratic — only for bounded inputs / oracles)."""
+    pair (exact, quadratic — only for bounded inputs / oracles).
+
+    Scale design: 64-bit signatures in four 16-bit bands give 65536 bucket
+    values per band, so a uniform corpus of N vectors yields ~N^2/65536
+    within-bucket pairs per band — vs 16 bucket values (a disguised
+    cartesian) with the old 4-bit bands. ``max_bucket`` additionally drops
+    band buckets holding more vectors than the cap (hot hash values — e.g.
+    near-zero vectors — would otherwise blow up the self-join quadratically);
+    dropped pairs can still collide in their other bands. Set
+    ``max_bucket=None`` to disable. Use :func:`dropped_bucket_stats` on the
+    same input to audit how many buckets the cap silenced."""
     from .similarity import _dot, _norm, lsh_signatures
 
     if use_lsh:
         assert dim is not None
-        sigs = lsh_signatures(embeddings, dim, n_bits=16, id_col=id_col, vec_col=vec_col)
-        r, mask = 4, (1 << 4) - 1
+        assert n_bits % n_bands == 0
+        r = n_bits // n_bands
+        mask = (1 << r) - 1
+        sigs = lsh_signatures(embeddings, dim, n_bits=n_bits,
+                              id_col=id_col, vec_col=vec_col)
         bands = sigs.select(
             id_col, vec_col,
             F.explode(F.array(*[
                 F.struct(F.lit(bi).alias("band"),
                          F.shiftright("sig", bi * r).bitwiseAND(F.lit(mask)).alias("bh"))
-                for bi in range(4)
+                for bi in range(n_bands)
             ])).alias("bb"),
         ).select(id_col, vec_col, "bb.band", "bb.bh")
+        if max_bucket is not None:
+            oversized = (
+                bands.groupBy("band", "bh")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > max_bucket)
+                .select("band", "bh")
+            )
+            # hot buckets are few by construction -> broadcast anti join
+            bands = bands.join(F.broadcast(oversized), ["band", "bh"], "left_anti")
         a, b = bands.alias("a"), bands.alias("b")
         cand = (
             a.join(b, ["band", "bh"])
@@ -161,6 +193,34 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         / (_norm(F.col("va")) * _norm(F.col("vb"))))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def dropped_bucket_stats(embeddings: DataFrame, dim: int, n_bits: int = 64,
+                         n_bands: int = 4, max_bucket: int = 4096,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Audit twin of :func:`embedding_near_dups`'s bucket cap: one row per
+    over-cap (band, bh) bucket with its size, so capped blowups are loggable
+    (``df.count()`` = number of silenced buckets) instead of silent."""
+    from .similarity import lsh_signatures
+
+    assert n_bits % n_bands == 0
+    r = n_bits // n_bands
+    mask = (1 << r) - 1
+    sigs = lsh_signatures(embeddings, dim, n_bits=n_bits,
+                          id_col=id_col, vec_col=vec_col)
+    bands = sigs.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.shiftright("sig", bi * r).bitwiseAND(F.lit(mask)).alias("bh"))
+            for bi in range(n_bands)
+        ])).alias("bb"),
+    ).select("bb.band", "bb.bh")
+    return (
+        bands.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
     )
 
 
@@ -305,11 +365,14 @@ def simhash(docs: DataFrame, n: int = 4, text_col: str = "text",
     return sums.select(F.col(id_col), acc.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, n: int = 4,
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, n: int = 4,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, candidate-bucketed on
-    16-bit bands (a pair within hamming<=3 of a band must collide somewhere;
-    wider radii use more/rotated bands)."""
+    four 16-bit bands. By pigeonhole, a pair at Hamming distance <= 3 must
+    agree on at least one full band, so recall is exact up to the default
+    ``max_hamming=3``; asking for a wider radius returns only the pairs that
+    happen to collide in some band (documented recall loss — use more /
+    rotated bands if a guaranteed radius > 3 is needed)."""
     sh = simhash(docs, n=n, text_col=text_col, id_col=id_col).cache()
     bands = sh.select(
         id_col, "simhash",

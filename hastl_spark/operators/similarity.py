@@ -79,14 +79,19 @@ def lsh_signatures(embeddings: DataFrame, dim: int, n_bits: int = 16, seed: int 
     ~10x slower than one BLAS call per batch."""
     from pyspark.sql.functions import pandas_udf
 
+    assert n_bits <= 64
     planes = np.asarray(random_hyperplanes(dim, n_bits, seed), dtype=np.float64).T
-    weights = np.power(2.0, np.arange(n_bits)).astype(np.float64)
 
     @pandas_udf("long")
     def sig_udf(vecs: pd.Series) -> pd.Series:
         M = np.stack(vecs.to_numpy()).astype(np.float64)
         bits = (M @ planes) > 0
-        return pd.Series((bits @ weights).astype(np.int64))
+        # pack in uint64 (float weights lose exactness past 2^53), reinterpret
+        # as the Spark long
+        packed = np.zeros(len(M), dtype=np.uint64)
+        for i in range(n_bits):
+            packed |= bits[:, i].astype(np.uint64) << np.uint64(i)
+        return pd.Series(packed.view(np.int64))
 
     return embeddings.select(F.col(id_col), F.col(vec_col),
                              sig_udf(F.col(vec_col)).alias("sig"))

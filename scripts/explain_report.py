@@ -99,6 +99,27 @@ def main():
     sections["dimension join (explicit broadcast)"] = p
     checks.append(("dimension join is BroadcastHashJoin", "BroadcastHashJoin" in p))
 
+    # 6. exact dedup: the shuffle must carry (hash, length) keys, never the
+    # document text itself
+    from hastl_spark.operators.dedup import exact_dup_groups
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_of(exact_dup_groups(docs))
+    sections["exact_dup_groups (hash-keyed shuffle)"] = p
+    lines = p.splitlines()
+    exch_blocks = []
+    for i, ln in enumerate(lines):
+        if ") Exchange" in ln:
+            blk = []
+            for l2 in lines[i:]:
+                if not l2.strip():
+                    break
+                blk.append(l2)
+            exch_blocks.append("\n".join(blk))
+    no_text_shuffle = bool(exch_blocks) and all(
+        "text#" not in b for b in exch_blocks)
+    checks.append(("exact dedup exchange carries hash keys, not text", no_text_shuffle))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_report.py)\n"]
     out.append("## Checks\n")
     for name, ok in checks:

@@ -199,3 +199,67 @@ def test_multimodal_plumbing(spark):
     assert all(np.array_equal(a, b) for a, b in zip(f0.feat.values, again.feat.values))
     with pytest.raises(NotImplementedError):
         extract_features(media, require_real=True)
+
+
+def test_embedding_near_dups_lsh_recalls_planted_pair(spark, embs):
+    from hastl_spark.operators.dedup import embedding_near_dups
+
+    base = embs.filter("vec_id < 200")
+    # planted near-dup: tiny per-element perturbation of vec 0 (cosine ~1)
+    near = base.filter("vec_id = 0").select(
+        (F.col("vec_id") + 900000).alias("vec_id"),
+        F.transform("embedding", lambda v: v + F.lit(0.001)).alias("embedding"),
+        "label",
+    )
+    d2 = base.unionByName(near)
+    pairs = embedding_near_dups(d2, threshold=0.95, dim=64, use_lsh=True).collect()
+    assert any(r.id_a == 0 and r.id_b == 900000 for r in pairs)
+    # exact path agrees on the planted pair
+    exact = embedding_near_dups(d2, threshold=0.95, use_lsh=False).collect()
+    assert any(r.id_a == 0 and r.id_b == 900000 for r in exact)
+
+
+def test_lsh_band_buckets_sublinear_on_large_corpus(spark):
+    """100k synthetic vectors: the largest 16-bit band bucket must stay far
+    below N (the old 4-bit bands put ~N/16 vectors in every bucket)."""
+    from hastl_spark.operators.similarity import lsh_signatures
+
+    n, dim = 100_000, 64
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001)) - 1000)
+            .cast("float") / 1000.0,
+        ).alias("embedding"),
+    )
+    sigs = lsh_signatures(vecs, dim, n_bits=64)
+    r, mask = 16, (1 << 16) - 1
+    bands = sigs.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.shiftright("sig", bi * r).bitwiseAND(F.lit(mask)).alias("bh"))
+            for bi in range(4)
+        ])).alias("bb")
+    ).select("bb.band", "bb.bh")
+    max_bucket = (bands.groupBy("band", "bh").count()
+                  .agg(F.max("count")).collect()[0][0])
+    assert max_bucket < n / 10, max_bucket
+
+
+def test_embedding_near_dups_bucket_cap_drops_hot_buckets(spark, embs):
+    from hastl_spark.operators.dedup import dropped_bucket_stats, embedding_near_dups
+
+    # plant 10 identical copies of vec 0: a hot bucket in every band
+    clones = embs.filter("vec_id = 0").crossJoin(
+        spark.range(10).select((F.col("id") + 900000).alias("cid"))
+    ).select(F.col("cid").alias("vec_id"), "embedding", "label")
+    base = embs.filter("vec_id < 200").unionByName(clones)
+    capped = embedding_near_dups(base, threshold=0.4, dim=64, use_lsh=True,
+                                 max_bucket=5)
+    exact = embedding_near_dups(base, threshold=0.4, use_lsh=False)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    want = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert got <= want
+    stats = dropped_bucket_stats(base, dim=64, max_bucket=5)
+    assert stats.count() > 0  # the cap is auditable, not silent

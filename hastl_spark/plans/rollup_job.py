@@ -27,7 +27,7 @@ from hastl_spark.operators.gapfill import stl_gapfill
 from hastl_spark.operators.rollup import rollup_1m, rollup_tier, token_invariant_violations, with_event_time
 from hastl_spark.session import get_spark
 from hastl_spark.sources.sequences import SEQS_PER_BUCKET, generate_scale
-from hastl_spark.sources.tables import KeyedTable
+from hastl_spark.sources.tables import DAY_SPEC, PART_SEP, KeyedTable
 
 
 def run_pipeline(
@@ -66,9 +66,11 @@ def run_pipeline(
         metrics["token_invariant_violations"] = int(row["bad"] or 0)
         metrics["token_checksum"] = str(row["chk"])
 
-    # raw -> 1m (salted two-phase agg)
+    # raw -> 1m (salted two-phase agg). Day-partitioned (source~day): an
+    # incremental/backfill merge rewrites only the touched days' files.
     r1m = rollup_1m(seq, n_salts=n_salts)
-    t_1m = KeyedTable(os.path.join(out_dir, "tier_1m"), ["source", "bucket"])
+    t_1m = KeyedTable(os.path.join(out_dir, "tier_1m"), ["source", "bucket"],
+                      part_spec=DAY_SPEC)
     rec = t_1m.merge_upsert(spark, r1m, watermark_col="bucket")
     metrics["tier_1m"] = rec
 
@@ -79,12 +81,20 @@ def run_pipeline(
     rec = t_gap.merge_upsert(spark, gap, watermark_col="bucket")
     metrics["gapfill_1m"] = rec
 
-    # tier cascade (re-aggregates the maintained 1m table, not the raw scan)
-    t_1h = KeyedTable(os.path.join(out_dir, "tier_1h"), ["source", "bucket"])
-    r1h = rollup_tier(cur_1m, "1h")
+    # tier cascade (re-aggregates the maintained 1m table, not the raw scan).
+    # Incremental: only the DAYS this run's 1m merge touched need re-rollup —
+    # the touched-day set comes from the merge's own lineage record (day
+    # boundaries align with 1h and 1d buckets, so day-filtered re-rollup
+    # yields complete tier buckets); MERGE keeps every other day's rows.
+    days = sorted({p.split(PART_SEP)[1] for p in metrics["tier_1m"]["partitions"]})
+    upd_1m = cur_1m.filter(F.to_date("bucket").cast("string").isin(days))
+    t_1h = KeyedTable(os.path.join(out_dir, "tier_1h"), ["source", "bucket"],
+                      part_spec=DAY_SPEC)
+    r1h = rollup_tier(upd_1m, "1h")
     metrics["tier_1h"] = t_1h.merge_upsert(spark, r1h, watermark_col="bucket")
     t_1d = KeyedTable(os.path.join(out_dir, "tier_1d"), ["source", "bucket"])
-    metrics["tier_1d"] = t_1d.merge_upsert(spark, rollup_tier(t_1h.read(spark), "1d"),
+    upd_1h = t_1h.read(spark).filter(F.to_date("bucket").cast("string").isin(days))
+    metrics["tier_1d"] = t_1d.merge_upsert(spark, rollup_tier(upd_1h, "1d"),
                                            watermark_col="bucket")
 
     if do_gorilla:
@@ -100,9 +110,15 @@ def run_pipeline(
         chunks = parts[0]
         for p in parts[1:]:
             chunks = chunks.unionByName(p)
+        # chunk sets are REGENERATED from the full tier each run, and a
+        # backfill can shift 65536-point chunk boundaries (new chunk_start
+        # keys overlapping stale rows) — so each (source, tier) partition is
+        # replaced wholesale, not key-merged
         t_ch = KeyedTable(os.path.join(out_dir, "chunks"),
-                          ["source", "tier", "chunk_start"])
-        metrics["chunks"] = t_ch.merge_upsert(spark, chunks)
+                          ["source", "tier", "chunk_start"],
+                          part_spec={"cols": ["source", "tier"]})
+        metrics["chunks"] = t_ch.merge_upsert(spark, chunks,
+                                              replace_partitions=True)
 
     wall = time.time() - t_start
     pts = (metrics["tier_1m"]["rows_in"] + metrics["tier_1h"]["rows_in"]

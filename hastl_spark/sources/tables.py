@@ -14,8 +14,12 @@ directories with an ATOMIC JSON manifest (SURVEY.md §7 hard-part (c)):
 * every merge appends a lineage record (snapshot, rows in/out, wall-clock,
   watermark) — the per-partition checkpoint the north_rule requires.
 
-Partition column here is ``source`` (16 values at sandbox scale); at 100 TB
-the Iceberg spec adds a time bucket to bound rewrite amplification.
+Partition column defaults to ``source``; tables that take incremental /
+backfill MERGEs should pass ``part_spec=DAY_SPEC`` to partition by the
+composite (source, day(bucket)) value, so a merge touching one day rewrites
+only that day's files instead of the source's whole history (the Iceberg
+``(source, days(bucket))`` spec, SURVEY.md §2.1). The spec is persisted in
+the manifest, so readers and later writers reconstruct it automatically.
 """
 
 from __future__ import annotations
@@ -24,16 +28,50 @@ import json
 import os
 import time
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+PART_SEP = "~"
+
+# part_spec: declarative composite-partition derivation, persisted in the
+# manifest so ANY reader (retention, tests, a resumed run) rebuilds the same
+# ``_part`` column without knowing how the table was constructed.
+#   {"cols": ["source"], "day_of": "bucket"}  -> source~2026-01-05
+#   {"cols": ["source", "tier"]}              -> source~1h
+DAY_SPEC = {"cols": ["source"], "day_of": "bucket"}
+
+
+def apply_part_spec(df: DataFrame, spec: dict, out_col: str = "_part") -> DataFrame:
+    parts = [F.col(c) for c in spec.get("cols", [])]
+    if spec.get("day_of"):
+        parts.append(F.date_format(spec["day_of"], "yyyy-MM-dd"))
+    return df.withColumn(out_col, F.concat_ws(PART_SEP, *parts))
+
+
+def _wm_json(v):
+    """Watermark value as a JSON-able scalar keeping its comparison type:
+    numbers stay numbers (str(9) > str(10) is the bug), everything else
+    becomes its string form (ISO timestamps compare correctly as strings)."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
+    return str(v)
+
 
 class KeyedTable:
-    def __init__(self, path: str, key_cols: list[str], partition_col: str = "source"):
+    def __init__(self, path: str, key_cols: list[str], partition_col: str = "source",
+                 part_spec: dict | None = None):
         self.path = path
         self.key_cols = list(key_cols)
-        self.partition_col = partition_col
+        self.part_spec = part_spec
+        self.partition_col = "_part" if part_spec else partition_col
         os.makedirs(path, exist_ok=True)
 
     # ---- manifest ----
@@ -45,7 +83,20 @@ class KeyedTable:
         if not os.path.exists(self._manifest_path):
             return {"snapshot": 0, "partitions": {}, "watermarks": {}, "lineage": []}
         with open(self._manifest_path) as f:
-            return json.load(f)
+            man = json.load(f)
+        # the manifest is authoritative about how the table is partitioned, so
+        # readers constructed with default args still resolve composite specs
+        if "partition_col" in man:
+            self.partition_col = man["partition_col"]
+        if man.get("part_spec"):
+            self.part_spec = man["part_spec"]
+        return man
+
+    def _with_part(self, df: DataFrame) -> DataFrame:
+        """Ensure the (possibly synthetic) partition column exists on df."""
+        if self.part_spec and self.partition_col not in df.columns:
+            return apply_part_spec(df, self.part_spec, self.partition_col)
+        return df
 
     def _publish(self, man: dict) -> None:
         tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex}"
@@ -83,20 +134,44 @@ class KeyedTable:
         parts = man["partitions"]
         if not parts:
             raise ValueError(f"table {self.path} is empty")
-        return self._read_dirs(spark, parts.values())
+        df = self._read_dirs(spark, parts.values())
+        if self.part_spec:
+            # synthetic partition value: derived from data columns, so the
+            # logical table surface omits it (writers re-derive via part_spec)
+            df = df.drop(self.partition_col)
+        return df
 
     def exists(self) -> bool:
         return bool(self._load()["partitions"])
 
+    @staticmethod
+    def _list_parts(dirpath: str, pc: str) -> dict[str, str]:
+        """Partition-dir listing as {decoded value: dir name}. Spark URL-
+        encodes special characters in partition dir names; stats groupBys
+        see the raw value, so the decoded form is the canonical key."""
+        return {
+            unquote(d.split("=", 1)[1]): d
+            for d in os.listdir(dirpath) if d.startswith(f"{pc}=")
+        }
+
     # ---- MERGE ----
     def merge_upsert(self, spark: SparkSession, updates: DataFrame,
-                     watermark_col: str | None = None) -> dict:
+                     watermark_col: str | None = None,
+                     replace_partitions: bool = False) -> dict:
         """Upsert ``updates`` by key; only partitions present in the update
-        set are rewritten. Returns the lineage record."""
+        set are rewritten. Returns the lineage record.
+
+        ``replace_partitions=True`` switches to delete-then-insert semantics:
+        affected partitions are fully superseded by the update rows instead
+        of key-merged — for derived tables regenerated wholesale per
+        partition (e.g. Gorilla chunk sets, whose chunk_start keys shift
+        when a backfill moves a chunk boundary: a keyed upsert would leave
+        stale overlapping chunks behind)."""
         t0 = time.time()
         man = self._load()
         snap = man["snapshot"] + 1
         pc = self.partition_col
+        updates = self._with_part(updates)
 
         # Stage the updates FIRST: the (potentially expensive) updates plan
         # executes exactly once, straight into a partitioned staging write —
@@ -115,9 +190,7 @@ class KeyedTable:
              .repartition(F.col(pc))
              .write.mode("overwrite").partitionBy(pc)
              .parquet(os.path.join(self.path, rel_base)))
-            parts = [d.split("=", 1)[1]
-                     for d in os.listdir(os.path.join(self.path, rel_base))
-                     if d.startswith(f"{pc}=")]
+            part_dirs = self._list_parts(os.path.join(self.path, rel_base), pc)
         else:
             rel_stage = rel_base + "_stage"
             stage_dir = os.path.join(self.path, rel_stage)
@@ -125,30 +198,33 @@ class KeyedTable:
              .repartition(F.col(pc))
              .write.mode("overwrite").partitionBy(pc)
              .parquet(stage_dir))
-            parts = [d.split("=", 1)[1] for d in os.listdir(stage_dir)
-                     if d.startswith(f"{pc}=")]
-            staged = self._read_dirs(
-                spark, [os.path.join(rel_stage, f"{pc}={p}") for p in parts])
+            part_dirs = self._list_parts(stage_dir, pc)
 
-            existing = [p for p in parts if p in man["partitions"]]
-            if existing:
+            existing = [p for p in part_dirs if p in man["partitions"]]
+            if existing and not replace_partitions:
+                staged = self._read_dirs(
+                    spark,
+                    [os.path.join(rel_stage, d) for d in part_dirs.values()])
                 cur = self._read_dirs(spark, [man["partitions"][p] for p in existing])
                 keep = cur.join(staged.select(*self.key_cols).distinct(),
                                 on=self.key_cols, how="left_anti")
                 merged = keep.unionByName(staged.select(*keep.columns))
+                (merged.withColumn("_pk", F.col(pc))
+                 .repartition(F.col(pc))
+                 .write.mode("overwrite").partitionBy(pc)
+                 .parquet(os.path.join(self.path, rel_base)))
             else:
-                merged = staged
-            (merged.withColumn("_pk", F.col(pc))
-             .repartition(F.col(pc))
-             .write.mode("overwrite").partitionBy(pc)
-             .parquet(os.path.join(self.path, rel_base)))
+                # nothing to key-merge (fresh partitions, or full-partition
+                # replace): the staged write IS the new snapshot — rename,
+                # don't rewrite
+                os.rename(stage_dir, os.path.join(self.path, rel_base))
 
         # watermarks + row counts from one tiny scan of the written table data
         aggs = [F.count(F.lit(1)).alias("_n")]
         if watermark_col is not None:
             aggs.append(F.max(watermark_col).alias("_wm"))
         written = self._read_dirs(
-            spark, [os.path.join(rel_base, f"{pc}={p}") for p in parts])
+            spark, [os.path.join(rel_base, d) for d in part_dirs.values()])
         stats = {str(r[0]): r for r in written.groupBy(pc).agg(*aggs).collect()}
         rows = sum(r["_n"] for r in stats.values())
         if man["partitions"]:
@@ -157,12 +233,12 @@ class KeyedTable:
             _sh.rmtree(os.path.join(self.path, rel_base + "_stage"),
                        ignore_errors=True)
 
-        for pval in parts:
-            man["partitions"][pval] = os.path.join(rel_base, f"{pc}={pval}")
+        for pval, dirname in part_dirs.items():
+            man["partitions"][pval] = os.path.join(rel_base, dirname)
             if watermark_col is not None:
-                wm = str(stats[pval]["_wm"])
+                wm = _wm_json(stats[pval]["_wm"])
                 prev = man["watermarks"].get(pval)
-                man["watermarks"][pval] = max(wm, prev) if prev else wm
+                man["watermarks"][pval] = max(wm, prev) if prev is not None else wm
 
         if "schema" not in man:
             # record the FILE schema (pc travels as _pk) so future reads
@@ -176,12 +252,15 @@ class KeyedTable:
 
         record = {
             "snapshot": snap,
-            "partitions": sorted(parts),
+            "partitions": sorted(part_dirs),
             "rows_in": rows,
             "wall_s": round(time.time() - t0, 3),
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         man["snapshot"] = snap
+        man["partition_col"] = pc
+        if self.part_spec:
+            man["part_spec"] = self.part_spec
         man["lineage"].append(record)
         self._publish(man)
         return record
@@ -195,33 +274,42 @@ class KeyedTable:
         man = self._load()
         snap = man["snapshot"] + 1
         pc = self.partition_col
+        df = self._with_part(df)
         rel_base = os.path.join("data", f"s{snap:06d}")
         (df.withColumn("_pk", F.col(pc))
          .repartition(F.col(pc))
          .write.mode("overwrite").partitionBy(pc)
          .parquet(os.path.join(self.path, rel_base)))
         data_dir = os.path.join(self.path, rel_base)
-        parts = [d.split("=", 1)[1] for d in os.listdir(data_dir)
-                 if d.startswith(f"{pc}=")]
+        part_dirs = self._list_parts(data_dir, pc)
         aggs = [F.count(F.lit(1)).alias("_n")]
         if watermark_col is not None:
             aggs.append(F.max(watermark_col).alias("_wm"))
-        written = self._read_dirs(
-            spark, [os.path.join(rel_base, f"{pc}={p}") for p in parts])
-        stats = {str(r[0]): r for r in written.groupBy(pc).agg(*aggs).collect()}
+        if part_dirs:
+            written = self._read_dirs(
+                spark, [os.path.join(rel_base, d) for d in part_dirs.values()])
+            stats = {str(r[0]): r
+                     for r in written.groupBy(pc).agg(*aggs).collect()}
+        else:
+            # every row aged out: publish an empty snapshot (partitions={})
+            # rather than crashing on a zero-path read
+            stats = {}
         man["partitions"] = {
-            p: os.path.join(rel_base, f"{pc}={p}") for p in parts}
+            p: os.path.join(rel_base, d) for p, d in part_dirs.items()}
         if watermark_col is not None:
-            man["watermarks"] = {p: str(stats[p]["_wm"]) for p in parts}
+            man["watermarks"] = {p: _wm_json(stats[p]["_wm"]) for p in part_dirs}
         record = {
             "snapshot": snap,
             "op": "overwrite",
-            "partitions": sorted(parts),
+            "partitions": sorted(part_dirs),
             "rows_in": sum(r["_n"] for r in stats.values()),
             "wall_s": round(time.time() - t0, 3),
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         man["snapshot"] = snap
+        man["partition_col"] = pc
+        if self.part_spec:
+            man["part_spec"] = self.part_spec
         man["lineage"].append(record)
         self._publish(man)
         return record

@@ -146,3 +146,68 @@ def test_gorilla_chunks_roundtrip(spark, r1m):
             np.sort(g.value.values), np.sort(sub.sum_n_tok.astype("float64").values))
     # compression: well under raw 16 B/point
     assert chunks["bytes"].sum() < 16 * chunks["n_points"].sum() / 2
+
+
+def test_day_partitioned_merge_rewrites_only_touched_days(spark, r1m, tmp_path):
+    """With part_spec=DAY_SPEC, a merge whose updates touch one day must
+    leave every other day's data dirs at their previous snapshot paths."""
+    from hastl_spark.sources.tables import DAY_SPEC, PART_SEP
+
+    t = KeyedTable(str(tmp_path / "t1m_day"), ["source", "bucket"],
+                   part_spec=DAY_SPEC)
+    # widen the fixture to 2 days (xs spans a single day)
+    r1m = r1m.unionByName(
+        r1m.withColumn("bucket", F.col("bucket") + F.expr("INTERVAL 1 DAY")))
+    t.merge_upsert(spark, r1m, watermark_col="bucket")
+    man1 = t._load()
+    assert all(PART_SEP in p for p in man1["partitions"])  # source~YYYY-MM-DD
+    days = sorted({p.split(PART_SEP)[1] for p in man1["partitions"]})
+    assert len(days) >= 2, "fixture must span >= 2 days for this test"
+
+    # update one bucket of the LAST day only
+    one = (r1m.filter(F.to_date("bucket").cast("string") == days[-1])
+           .limit(1).withColumn("sum_n_tok", F.lit(123456).cast("long")))
+    t.merge_upsert(spark, one, watermark_col="bucket")
+    man2 = t._load()
+    for p, rel in man1["partitions"].items():
+        if p.split(PART_SEP)[1] == days[-1] and p in {
+                f"{r['source']}{PART_SEP}{days[-1]}" for r in one.collect()}:
+            assert man2["partitions"][p] != rel  # rewritten
+        elif p.split(PART_SEP)[1] != days[-1]:
+            assert man2["partitions"][p] == rel  # untouched days keep files
+    # read-back equivalence: only the bumped key changed
+    key = one.collect()[0]
+    got = t.read(spark).filter(
+        (F.col("source") == key["source"]) & (F.col("bucket") == key["bucket"])
+    ).collect()[0]["sum_n_tok"]
+    assert got == 123456
+    assert t.read(spark).count() == r1m.count()
+
+
+def test_replace_partitions_supersedes_stale_chunk_rows(spark, r1m, tmp_path):
+    """Backfill scenario from ADVICE: chunk regeneration that shifts chunk
+    boundaries must fully supersede the partition's old chunk rows (a keyed
+    upsert would leave stale overlapping chunks -> double-counted points)."""
+    from hastl_spark.operators.chunks import decode_chunks
+
+    t = KeyedTable(str(tmp_path / "chunks"), ["source", "tier", "chunk_start"],
+                   part_spec={"cols": ["source", "tier"]})
+    late = r1m.orderBy("source", "bucket")  # deterministic
+    # run 1: chunks over buckets EXCLUDING each source's first 3 (simulates
+    # the backfill arriving later); small chunk size so boundaries shift
+    from pyspark.sql import Window
+    w = Window.partitionBy("source").orderBy("bucket")
+    ranked = late.withColumn("_rn", F.row_number().over(w))
+    ch1 = gorilla_chunks(ranked.filter("_rn > 3").drop("_rn"), "sum_n_tok",
+                         max_points_per_chunk=100).withColumn("tier", F.lit("1m"))
+    t.merge_upsert(spark, ch1, replace_partitions=True)
+    # run 2 (backfill): chunks regenerated over the FULL series
+    ch2 = gorilla_chunks(ranked.drop("_rn"), "sum_n_tok",
+                         max_points_per_chunk=100).withColumn("tier", F.lit("1m"))
+    t.merge_upsert(spark, ch2, replace_partitions=True)
+
+    pts = decode_chunks(t.read(spark).toPandas())
+    exp = r1m.toPandas()
+    # no double counting: decoded point count == input rows exactly
+    assert len(pts) == len(exp)
+    assert abs(pts["value"].sum() - exp["sum_n_tok"].astype("float64").sum()) < 1e-6

@@ -18,14 +18,58 @@ import re
 import numpy as np
 
 from .kernel import loess_fit, seasonal_amplitude, stl_fit, stl_fit_1d, trend_magnitude
+from .kernel.params import canonicalize_stl_params
 
 _BACKENDS = ["opencl", "cuda", "multicore", "c"]
 
 
-class STL:
-    """Signature-compatible with hastl.STL (hastl/stl.py:25-71)."""
+def _dump_stl_input(Y, n_p, q_s, q_t, q_l, d_s, d_t, d_l, jump_s, jump_t,
+                    jump_l, n_inner, n_outer, thresholds, path="dump.in"):
+    """Reference ``STL.fit(dump=True)`` twin (hastl/stl.py:183-211): write
+    the f32 input plus the canonicalized int64 parameter sequence to
+    ``dump.in`` and print each parameter. The reference serializes with
+    futhark_data (used here too when importable, for byte-compatible
+    ``futhark bench`` input) and then exit()s; a library must not kill the
+    caller's process — Spark executors included — so this returns instead,
+    falling back to an .npz with the identical field set."""
+    Y_32 = np.asarray(Y).astype(np.float32)
+    p = canonicalize_stl_params(Y_32.shape[-1], n_p, q_s, q_t=q_t, q_l=q_l,
+                                d_s=d_s, d_t=d_t, d_l=d_l, jump_s=jump_s,
+                                jump_t=jump_t, jump_l=jump_l,
+                                n_inner=n_inner, n_outer=n_outer)
+    # field order matches the reference's dump loop (stl.py:189-204)
+    params = [(p.n_p, "n_p"), (p.q_s, "q_s"), (p.q_t, "q_t"), (p.q_l, "q_l"),
+              (p.d_s, "d_s"), (p.d_t, "d_t"), (p.d_l, "d_l"),
+              (p.jump_s, "n_jump_s"), (p.jump_t, "n_jump_t"),
+              (p.jump_l, "n_jump_l"), (p.n_inner, "n_inner"),
+              (p.n_outer, "n_outer"),
+              (thresholds[0], "jump threshold_1"),
+              (thresholds[1], "jump threshold_2"),
+              (thresholds[2], "q_threshold_1"),
+              (thresholds[3], "q_threshold_2")]
+    try:
+        import futhark_data  # noqa: F401 — not in this container; see below
 
-    def __init__(self, backend="c", jump_threshold_1=13, jump_threshold_2=16,
+        with open(path, "wb") as f:
+            futhark_data.dump(Y_32, f)
+            for par, name in params:
+                print(f"{name}: {par}")
+                futhark_data.dump(np.int64(par), f)
+    except ImportError:
+        arrays = {"Y": Y_32}
+        for par, name in params:
+            print(f"{name}: {par}")
+            arrays[name] = np.int64(par)
+        with open(path, "wb") as f:  # np.savez(str) would append .npz
+            np.savez(f, **arrays)
+
+
+class STL:
+    """Signature-compatible with hastl.STL (hastl/stl.py:25-71). Default
+    backend matches the reference ("opencl", stl.py:26); every backend name
+    resolves to the same vectorized NumPy kernel here."""
+
+    def __init__(self, backend="opencl", jump_threshold_1=13, jump_threshold_2=16,
                  q_threshold_1=511, q_threshold_2=1023, tuning=None, device=None,
                  platform=None, profiling=False, debug=False):
         if backend not in _BACKENDS:
@@ -37,9 +81,18 @@ class STL:
         self.q_threshold_2 = q_threshold_2
         self.debug = debug
 
+    def _thresholds(self):
+        # stl.py:178: c/multicore force jump_threshold_1 to 10^7
+        jt1 = (10000000 if self.backend in ("c", "multicore")
+               else self.jump_threshold_1)
+        return (jt1, self.jump_threshold_2, self.q_threshold_1, self.q_threshold_2)
+
     def fit(self, Y, n_p, q_s, q_t=None, q_l=None, d_s=1, d_t=1, d_l=None,
             jump_s=None, jump_t=None, jump_l=None, n_inner=2, n_outer=1,
             critfreq=0.05, dump=False, manifest=True):
+        if dump:
+            _dump_stl_input(Y, n_p, q_s, q_t, q_l, d_s, d_t, d_l, jump_s,
+                            jump_t, jump_l, n_inner, n_outer, self._thresholds())
         return stl_fit(Y, n_p, q_s, q_t=q_t, q_l=q_l, d_s=d_s, d_t=d_t, d_l=d_l,
                        jump_s=jump_s, jump_t=jump_t, jump_l=jump_l,
                        n_inner=n_inner, n_outer=n_outer, critfreq=critfreq)
@@ -47,6 +100,10 @@ class STL:
     def fit_1d(self, y, n_p, q_s, q_t=None, q_l=None, d_s=1, d_t=1, d_l=None,
                jump_s=None, jump_t=None, jump_l=None, n_inner=2, n_outer=1,
                critfreq=0.05, dump=False):
+        if dump:
+            _dump_stl_input(np.asarray(y)[None, :], n_p, q_s, q_t, q_l, d_s,
+                            d_t, d_l, jump_s, jump_t, jump_l, n_inner, n_outer,
+                            self._thresholds())
         return stl_fit_1d(y, n_p, q_s, q_t=q_t, q_l=q_l, d_s=d_s, d_t=d_t,
                           d_l=d_l, jump_s=jump_s, jump_t=jump_t, jump_l=jump_l,
                           n_inner=n_inner, n_outer=n_outer, critfreq=critfreq)
@@ -59,9 +116,10 @@ class STL:
 
 
 class LOESS:
-    """Signature-compatible with hastl.LOESS (hastl/loess.py:9-52)."""
+    """Signature-compatible with hastl.LOESS (hastl/loess.py:9-52); default
+    backend matches the reference ("opencl", loess.py:14)."""
 
-    def __init__(self, backend="c", jump_threshold_1=13, jump_threshold_2=16,
+    def __init__(self, backend="opencl", jump_threshold_1=13, jump_threshold_2=16,
                  q_threshold_1=511, q_threshold_2=1023, tuning=None, device=None,
                  platform=None, debug=False):
         if backend not in _BACKENDS:
@@ -82,9 +140,20 @@ class LOESS:
 
 
 def print_installed_backends():
-    """hastl/stl.py:369-379 — every 'backend' resolves to the NumPy kernel."""
+    """hastl/stl.py:369-379: the reference probes one compiled module per
+    backend name and prints only the importable ones. Here every backend
+    name maps to the one NumPy kernel module, so each is 'installed' exactly
+    when that kernel imports — probed the same way, not assumed."""
+    installed = []
+    for backend in ["cuda", "opencl", "multicore", "c"]:
+        try:
+            from . import kernel  # noqa: F401 — the single execution engine
+        except ImportError:
+            pass
+        else:
+            installed.append(backend)
     print("Installed HaSTL backens:")  # sic, matches reference output
-    print(_BACKENDS)
+    print(installed)
 
 
 def load_tuning_file(file_path):

@@ -43,3 +43,25 @@ def test_tuning_file_and_backends(tmp_path, capsys):
     print_installed_backends()
     out = capsys.readouterr().out
     assert "backens" in out  # reference's exact (typo'd) banner
+
+
+def test_fit_dump_writes_reference_field_set(tmp_path, monkeypatch, capsys):
+    """STL.fit(dump=True) must produce dump.in with the reference's exact
+    field sequence (hastl/stl.py:183-211) — and RETURN (the reference
+    exit()s; a library embedded in Spark executors must not)."""
+    monkeypatch.chdir(tmp_path)
+    y = gen_harmonic(out_len=300, n_p=24, nan_frac=0.0, seed=9).astype(np.float32)
+    stl = STL(backend="c")
+    s, t, r = stl.fit_1d(y, n_p=24, q_s=13, d_s=0, dump=True)
+    assert s.shape == y.shape  # control returned and the fit still ran
+    assert (tmp_path / "dump.in").exists()
+    data = np.load(tmp_path / "dump.in")
+    expect = ["Y", "n_p", "q_s", "q_t", "q_l", "d_s", "d_t", "d_l",
+              "n_jump_s", "n_jump_t", "n_jump_l", "n_inner", "n_outer",
+              "jump threshold_1", "jump threshold_2",
+              "q_threshold_1", "q_threshold_2"]
+    assert list(data.keys()) == expect
+    assert int(data["n_p"]) == 24 and int(data["q_s"]) == 13
+    assert int(data["jump threshold_1"]) == 10000000  # c backend override
+    out = capsys.readouterr().out
+    assert "n_jump_s:" in out  # params printed like the reference

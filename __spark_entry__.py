@@ -166,6 +166,19 @@ def q_docs_lang(spark, sf_dir):
     return lang_guess(_docs(spark, sf_dir)).select("doc_id", "lang_guess")
 
 
+def q_docs_tokens_bpe(spark, sf_dir):
+    """BPE-ish regex token counts next to whitespace counts (training-data
+    token accounting without a tokenizer dependency)."""
+    from hastl_spark.operators.text import token_count, token_count_bpe
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("tokens_ws"),
+        token_count_bpe(F.col("text")).alias("tokens_bpe"),
+    )
+
+
 def q_docs_exact_dedup(spark, sf_dir):
     return exact_dup_groups(_docs(spark, sf_dir))
 
@@ -362,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stats": q_docs_stats,
         "docs_quality": q_docs_quality,
         "docs_lang": q_docs_lang,
+        "docs_tokens_bpe": q_docs_tokens_bpe,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "minhash_portable": q_minhash_portable,
@@ -488,6 +502,14 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN CAST({_STOP_SQL} AS BIGINT)
                              / greatest(len(string_split(text, ' ')), 1) >= 0.02
                         THEN 'en' ELSE 'other' END AS lang_guess
+            FROM documents
+        """,
+        "docs_tokens_bpe": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS tokens_ws,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +'
+                        )) AS INT) AS tokens_bpe
             FROM documents
         """,
         "docs_exact_dedup": """

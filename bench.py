@@ -19,7 +19,8 @@ import time
 HEADLINE = [
     "rollup_1m", "rollup_1h", "rollup_1d", "densify_1h", "top_users",
     "sessions", "lineitem_pricing", "revenue_by_nation",
-    "docs_stats", "docs_quality", "docs_exact_dedup", "docs_jaccard_pairs",
+    "docs_stats", "docs_quality", "docs_tokens_bpe", "docs_exact_dedup",
+    "docs_jaccard_pairs",
     "embeddings_knn", "ann_topk", "ivf_topk_full", "embedding_near_dups",
     "minhash_pairs", "simhash_portable",
     "stl_gapfill_1h", "loess_smooth_1h", "gorilla_roundtrip_1h", "trend_strength",

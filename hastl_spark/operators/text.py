@@ -26,6 +26,23 @@ def token_count(col: Column) -> Column:
     return F.size(F.split(col, " ", -1))
 
 
+# BPE-ish pre-tokenizer: a GPT-2-style split simplified to constructs whose
+# semantics are identical in Java regex (Spark) and DuckDB's RE2 — ASCII
+# contractions, optional-leading-space letter runs, digit runs, punctuation
+# runs, residual whitespace. (The real GPT-2 pattern needs lookahead +
+# unicode property classes, which RE2 lacks; token COUNTS, the pipeline
+# statistic, are what this feeds.)
+BPE_ISH_PATTERN = ("'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+                   "| ?[^A-Za-z0-9 ]+| +")
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish token count: number of BPE_ISH_PATTERN matches. Catalyst
+    regexp_count (codegen, no UDF); DuckDB twin:
+    len(regexp_extract_all(text, pattern))."""
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
+
+
 def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc stats: chars, tokens, punctuation count/ratio, stopword ratio,
     mean token length — the quality-scoring feature set."""

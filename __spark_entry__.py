@@ -188,6 +188,17 @@ def q_docs_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(docs, n=3, threshold=0.5)
 
 
+def q_dup_groups(spark, sf_dir):
+    """Near-dup pairs resolved into connected-component groups (min-label
+    propagation); every doc < 150 gets a group_id = min doc_id reachable
+    through the Jaccard>=0.5 pair graph (singletons label themselves)."""
+    from hastl_spark.operators.dedup import dup_group_labels
+
+    docs = _docs(spark, sf_dir).filter("doc_id < 150")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return dup_group_labels(docs.select("doc_id"), pairs)
+
+
 def q_embeddings_knn(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     return brute_force_topk(embs, embs.filter("vec_id < 8"), k=5).select(
@@ -378,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tokens_bpe": q_docs_tokens_bpe,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
+        "dup_groups": q_dup_groups,
         "minhash_portable": q_minhash_portable,
         "embeddings_knn": q_embeddings_knn,
         "embedding_near_dups": q_embedding_near_dups,
@@ -533,6 +545,35 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.doc_id = id_a
                        JOIN sizes sb ON sb.doc_id = id_b
             WHERE i / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        # connected components of the Jaccard pair graph via recursive CTE:
+        # reach(node, lbl) accumulates every origin id that can reach node,
+        # so min(lbl) per node == min id of its component
+        "dup_groups": """
+            WITH RECURSIVE grams AS (
+              SELECT DISTINCT doc_id, substr(text, g, 3) AS ngram
+              FROM documents, unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS u(g)
+              WHERE doc_id < 150 AND length(substr(text, g, 3)) = 3
+            ), sizes AS (
+              SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+              WHERE i / (sa.sz + sb.sz - i) >= 0.5
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach(node, lbl) AS (
+              SELECT doc_id, doc_id FROM documents WHERE doc_id < 150
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS doc_id, min(lbl) AS group_id
+            FROM reach GROUP BY 1
         """,
         "embeddings_knn": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec

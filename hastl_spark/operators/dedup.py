@@ -196,6 +196,46 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     )
 
 
+def dup_group_labels(nodes: DataFrame, pairs: DataFrame, max_iter: int = 20,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Resolve near-dup PAIRS into GROUPS: connected components by iterative
+    min-label propagation — the step that turns any pair-producing dedup
+    operator (Jaccard, MinHash LSH, SimHash, embedding near-dup) into an
+    actionable keep/drop set.
+
+    ``nodes``: one column ``id_col`` (doc ids; singletons label themselves);
+    ``pairs``: (id_a, id_b). Returns (id_col, group_id = min id reachable).
+
+    Spark shape: labels start as self; each round every node takes the min
+    of its own and its neighbors' labels (one join + one groupBy per round,
+    both on the id key); converges in O(component diameter) rounds — near-dup
+    clusters are shallow, so this is a handful of bounded shuffles, not a
+    driver-side graph walk. localCheckpoint() per round truncates the plan
+    lineage (iterative joins otherwise stack analysis cost per round).
+    """
+    F_ = F
+    edges = (pairs.select(F_.col("id_a").alias("src"), F_.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F_.col("id_b").alias("src"),
+                                       F_.col("id_a").alias("dst")))
+             .distinct())
+    labels = nodes.select(F_.col(id_col).alias("node")).distinct() \
+                  .withColumn("lbl", F_.col("node"))
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges.src == labels.node)
+                 .select(F_.col("dst").alias("node"), "lbl"))
+        new_labels = (labels.unionByName(neigh)
+                      .groupBy("node").agg(F_.min("lbl").alias("lbl"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F_.col("n.lbl") != F_.col("o.lbl")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F_.col("node").alias(id_col),
+                         F_.col("lbl").alias("group_id"))
+
+
 def dropped_bucket_stats(embeddings: DataFrame, dim: int, n_bits: int = 64,
                          n_bands: int = 4, max_bucket: int = 4096,
                          id_col: str = "vec_id",

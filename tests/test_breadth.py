@@ -263,3 +263,14 @@ def test_embedding_near_dups_bucket_cap_drops_hot_buckets(spark, embs):
     assert got <= want
     stats = dropped_bucket_stats(base, dim=64, max_bucket=5)
     assert stats.count() > 0  # the cap is auditable, not silent
+
+
+def test_dup_group_labels_connected_components(spark):
+    from hastl_spark.operators.dedup import dup_group_labels
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    # components: {0,1,2,3} (chain), {5,6}, singletons 4,7,8,9
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    got = {r.doc_id: r.group_id for r in dup_group_labels(nodes, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}

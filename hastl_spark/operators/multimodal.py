@@ -108,19 +108,33 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     spaced frame records per video (1 input row -> N output rows — the
     flat-map shape). Frame decode is stubbed with a deterministic slice."""
 
+    cols = ["media_id", "frame_idx", "frame_ts_ms", "frame"]
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf[pdf["kind"] == "video"].iterrows():
-                dur = int(r["duration_ms"] or 0)
-                n = min(max_frames, max(1, dur // every_ms))
-                payload = bytes(r["payload"]) if r["payload"] is not None else b"\0"
-                for i in range(n):
-                    ts = i * every_ms
-                    off = (i * 31) % max(1, len(payload))
-                    rows.append((r["media_id"], i, ts, payload[off:off + 16]))
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
-                                              "frame_ts_ms", "frame"])
+            v = pdf[pdf["kind"] == "video"]
+            if len(v) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            dur = v["duration_ms"].fillna(0).astype("int64").to_numpy()
+            n = np.minimum(max_frames, np.maximum(1, dur // every_ms))
+            # vectorized 1-row -> n-rows fan-out: repeat row indices, derive
+            # each output row's frame index from its offset in the repeat run
+            ridx = np.repeat(np.arange(len(v)), n)
+            fidx = np.arange(n.sum()) - np.repeat(np.cumsum(n) - n, n)
+            payloads = [
+                bytes(p) if p is not None else b"\0"
+                for p in v["payload"].to_numpy()
+            ]  # per-payload byte handling — inherently per-row, like decode
+            offs = (fidx * 31) % np.maximum(
+                1, np.array([len(p) for p in payloads])[ridx])
+            yield pd.DataFrame({
+                "media_id": v["media_id"].to_numpy()[ridx],
+                "frame_idx": fidx.astype("int32"),
+                "frame_ts_ms": (fidx * every_ms).astype("int32"),
+                "frame": [payloads[r][o:o + 16]
+                          for r, o in zip(ridx, offs)],
+            })
 
     return media.mapInPandas(fn, FRAME_SCHEMA)
 

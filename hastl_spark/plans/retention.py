@@ -30,7 +30,19 @@ DEFAULT_POLICY = {
 def apply_retention(spark: SparkSession, table: KeyedTable, keep_seconds: int,
                     bucket_col: str = "bucket", now=None) -> dict:
     """Drop rows with ``bucket < horizon - keep_seconds``. Returns the
-    lineage record (rows kept per partition, cutoff)."""
+    lineage record (rows kept per partition, cutoff).
+
+    On a day-partitioned table (part_spec day_of == bucket_col) this is
+    partition-pruned: whole days older than the cutoff are dropped from the
+    manifest without touching data files, only the single boundary day is
+    rewritten, and newer days keep their existing files — O(1 day) instead
+    of a full-table rewrite. Other layouts fall back to the snapshot
+    overwrite."""
+    man = table._load()
+    spec = table.part_spec
+    if spec and spec.get("day_of") == bucket_col and man["partitions"]:
+        return _apply_retention_day_pruned(spark, table, keep_seconds,
+                                           bucket_col, now)
     cur = table.read(spark)
     if now is None:
         now = cur.agg(F.max(bucket_col)).collect()[0][0]
@@ -39,6 +51,59 @@ def apply_retention(spark: SparkSession, table: KeyedTable, keep_seconds: int,
     rec = table.overwrite(spark, kept, watermark_col=bucket_col)
     rec["retention_cutoff"] = str(now)
     rec["keep_seconds"] = int(keep_seconds)
+    return rec
+
+
+def _apply_retention_day_pruned(spark: SparkSession, table: KeyedTable,
+                                keep_seconds: int, bucket_col: str,
+                                now=None) -> dict:
+    import datetime
+
+    from hastl_spark.sources.tables import PART_SEP
+
+    pvals = table.partition_values()
+    if now is None:
+        # horizon from the manifest watermarks (max bucket ever merged) —
+        # no data scan needed
+        wms = table._load()["watermarks"]
+        now = max(wms.values()) if wms else None
+        if now is not None:
+            now = datetime.datetime.fromisoformat(str(now))
+        else:
+            now = table.read(spark).agg(F.max(bucket_col)).collect()[0][0]
+    cutoff = now - datetime.timedelta(seconds=int(keep_seconds))
+    cutoff_day = cutoff.date().isoformat()
+
+    day_of = lambda p: p.split(PART_SEP)[-1]
+    fully_old = [p for p in pvals if day_of(p) < cutoff_day]
+    boundary = [p for p in pvals if day_of(p) == cutoff_day]
+
+    rows_kept_boundary = 0
+    rewritten = []
+    if boundary:
+        kept = (table.read_partitions(spark, boundary)
+                .filter(F.col(bucket_col) >= F.lit(cutoff)))
+        mrec = table.merge_upsert(spark, kept, watermark_col=bucket_col,
+                                  replace_partitions=True)
+        rewritten = mrec["partitions"]
+        rows_kept_boundary = mrec["rows_in"]
+        # boundary partitions whose kept set was empty produced no staged
+        # dir -> they were not rewritten and must be dropped outright
+        fully_old += [p for p in boundary if p not in set(rewritten)]
+
+    if fully_old:
+        rec = table.drop_partitions(fully_old)
+    else:
+        rec = {"snapshot": table.snapshot(), "partitions": []}
+    rec.update({
+        "op": "retention_day_pruned",
+        "retention_cutoff": str(now),
+        "keep_seconds": int(keep_seconds),
+        "dropped_partitions": len(fully_old),
+        "rewritten_partitions": rewritten,
+        "rows_in": rows_kept_boundary,
+        "untouched_partitions": len(table.partition_values()) - len(rewritten),
+    })
     return rec
 
 

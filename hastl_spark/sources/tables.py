@@ -144,6 +144,50 @@ class KeyedTable:
     def exists(self) -> bool:
         return bool(self._load()["partitions"])
 
+    def partition_values(self) -> list[str]:
+        return sorted(self._load()["partitions"])
+
+    def read_partitions(self, spark: SparkSession, pvals) -> DataFrame:
+        """Scan only the named partitions (manifest-scoped partition
+        pruning; e.g. retention's boundary day)."""
+        man = self._load()
+        rels = [man["partitions"][p] for p in pvals if p in man["partitions"]]
+        if not rels:
+            raise ValueError(f"none of {pvals!r} exist in {self.path}")
+        df = self._read_dirs(spark, rels)
+        if self.part_spec:
+            df = df.drop(self.partition_col)
+        return df
+
+    def drop_partitions(self, pvals) -> dict:
+        """Metadata-only partition drop: a new snapshot whose manifest no
+        longer names the given partitions — no data files are read or
+        written (vacuum reclaims snapshot dirs once nothing references
+        them). This is what makes day-partitioned retention O(boundary day)
+        instead of a full-table rewrite."""
+        t0 = time.time()
+        man = self._load()
+        snap = man["snapshot"] + 1
+        dropped = [p for p in pvals if p in man["partitions"]]
+        for p in dropped:
+            del man["partitions"][p]
+            man["watermarks"].pop(p, None)
+        record = {
+            "snapshot": snap,
+            "op": "drop_partitions",
+            "partitions": sorted(dropped),
+            "rows_in": 0,
+            "wall_s": round(time.time() - t0, 3),
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        man["snapshot"] = snap
+        man["partition_col"] = self.partition_col
+        if self.part_spec:
+            man["part_spec"] = self.part_spec
+        man["lineage"].append(record)
+        self._publish(man)
+        return record
+
     @staticmethod
     def _list_parts(dirpath: str, pc: str) -> dict[str, str]:
         """Partition-dir listing as {decoded value: dir name}. Spark URL-

@@ -179,6 +179,14 @@ def q_docs_tokens_bpe(spark, sf_dir):
     )
 
 
+def q_docs_scrubbed(spark, sf_dir):
+    """URL/email masking + whitespace normalization (string output column,
+    so the scrub is value-checked end to end)."""
+    from hastl_spark.operators.text import scrub_text
+
+    return scrub_text(_docs(spark, sf_dir)).select("doc_id", "text_scrubbed")
+
+
 def q_docs_exact_dedup(spark, sf_dir):
     return exact_dup_groups(_docs(spark, sf_dir))
 
@@ -387,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_lang": q_docs_lang,
         "docs_tokens_bpe": q_docs_tokens_bpe,
+        "docs_scrubbed": q_docs_scrubbed,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "dup_groups": q_dup_groups,
@@ -522,6 +531,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text,
                         '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +'
                         )) AS INT) AS tokens_bpe
+            FROM documents
+        """,
+        "docs_scrubbed": """
+            SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+                       text,
+                       'https?://[^ ]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '  +', ' ', 'g')) AS text_scrubbed
             FROM documents
         """,
         "docs_exact_dedup": """

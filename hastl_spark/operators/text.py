@@ -87,6 +87,24 @@ def lang_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# scrub patterns restricted to constructs with identical semantics in Java
+# regex and DuckDB's RE2 (ASCII classes, {m,} quantifiers, alternation)
+URL_PATTERN = "https?://[^ ]+"
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+
+
+def scrub_text(docs: DataFrame, text_col: str = "text",
+               out_col: str = "text_scrubbed") -> DataFrame:
+    """Training-data text scrubbing: mask URLs and emails, collapse
+    whitespace runs, trim. Pure Catalyst regexp_replace chain (codegen);
+    DuckDB twin uses regexp_replace(..., 'g')."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, URL_PATTERN, "<URL>")
+    c = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    c = F.regexp_replace(c, "  +", " ")
+    return docs.withColumn(out_col, F.trim(c))
+
+
 def char_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Explode each doc into its distinct character n-grams (shingles) —

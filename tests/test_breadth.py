@@ -274,3 +274,17 @@ def test_dup_group_labels_connected_components(spark):
         [(0, 1), (1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
     got = {r.doc_id: r.group_id for r in dup_group_labels(nodes, pairs).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
+
+
+def test_scrub_text_masks_planted_urls_and_emails(spark):
+    from hastl_spark.operators.text import scrub_text
+
+    df = spark.createDataFrame(
+        [(1, "see https://x.io/a?b=1 and mail bob.smith+x@corp.co.uk   now"),
+         (2, "no sensitive   content  here"),
+         (3, "http://plain.example/path end")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.text_scrubbed for r in scrub_text(df).collect()}
+    assert got[1] == "see <URL> and mail <EMAIL> now"
+    assert got[2] == "no sensitive content here"
+    assert got[3] == "<URL> end"

@@ -206,3 +206,44 @@ def test_seasonal_amplitude_inf_to_nan():
     amp = seasonal_amplitude(s)
     assert amp[0] == pytest.approx(2.0)
     assert np.isnan(amp[1])
+
+
+def test_stl_jump_paths_end_to_end():
+    """jump_{s,t,l} > 1 exercise the interpolate/interpolate_css branches
+    (stl.fut:216-224, 250-256, 303-313): decomposition must stay finite,
+    reconstruct exactly, and track the jump=1 fit closely on a smooth
+    series (loess-at-sampled-points + cubic Hermite between)."""
+    import numpy as np
+
+    from gen import gen_harmonic
+    from hastl_spark.kernel import stl_fit_1d
+
+    y = gen_harmonic(out_len=600, n_p=24, nan_frac=0.0, trend_coeff=0.002,
+                     noise_level=0.02, seed=5).astype(np.float32)
+    s1, t1, r1 = stl_fit_1d(y, n_p=24, q_s=13, d_s=0,
+                            jump_s=1, jump_t=1, jump_l=1)
+    s2, t2, r2 = stl_fit_1d(y, n_p=24, q_s=13, d_s=0,
+                            jump_s=2, jump_t=5, jump_l=3)
+    assert np.isfinite(s2).all() and np.isfinite(t2).all()
+    # reconstruction holds on the jump path (f64 sum re-cast -> ulp noise)
+    np.testing.assert_allclose(
+        (s2 + t2 + r2).astype(np.float32), y.astype(np.float32), atol=1e-6)
+    # interpolated fit tracks the dense fit on a smooth series
+    np.testing.assert_allclose(s2, s1, atol=0.05)
+    np.testing.assert_allclose(t2, t1, atol=0.05)
+
+
+def test_loess_jump_matches_dense_at_sampled_points():
+    """LOESS with jump=k fits directly at positions 0, k, 2k, ...; those
+    values must equal the jump=1 fit at the same positions (interpolation
+    only fills between them) — loess.fut:559-626 scheduling equivalence."""
+    import numpy as np
+
+    from gen import gen_harmonic
+    from hastl_spark.kernel import loess_fit
+
+    y = gen_harmonic(out_len=400, n_p=24, nan_frac=0.0, seed=11).astype(np.float64)
+    dense = loess_fit(y, q=25, degree=1, jump=1)
+    jumped = loess_fit(y, q=25, degree=1, jump=4)
+    pts = np.arange(0, 400, 4)
+    np.testing.assert_allclose(jumped[pts], dense[pts], rtol=0, atol=1e-6)

@@ -222,15 +222,28 @@ def test_stl_jump_paths_end_to_end():
                      noise_level=0.02, seed=5).astype(np.float32)
     s1, t1, r1 = stl_fit_1d(y, n_p=24, q_s=13, d_s=0,
                             jump_s=1, jump_t=1, jump_l=1)
+    # jump_s alone is a clean sampled-fit + Hermite interpolation: it must
+    # track the dense fit closely
     s2, t2, r2 = stl_fit_1d(y, n_p=24, q_s=13, d_s=0,
-                            jump_s=2, jump_t=5, jump_l=3)
-    assert np.isfinite(s2).all() and np.isfinite(t2).all()
-    # reconstruction holds on the jump path (f64 sum re-cast -> ulp noise)
+                            jump_s=4, jump_t=1, jump_l=1)
     np.testing.assert_allclose(
         (s2 + t2 + r2).astype(np.float32), y.astype(np.float32), atol=1e-6)
-    # interpolated fit tracks the dense fit on a smooth series
-    np.testing.assert_allclose(s2, s1, atol=0.05)
-    np.testing.assert_allclose(t2, t1, atol=0.05)
+    np.testing.assert_allclose(s2, s1, rtol=0, atol=0.02)
+    np.testing.assert_allclose(t2, t1, rtol=0, atol=0.02)
+    # jump_t / jump_l route through the reference's t_m_fun-in-lowpass
+    # hazard (stl.fut:240 feeds t_m_fun>->(+1) into the low-pass smoother
+    # even when jump_l != jump_t), so their output deliberately DIVERGES
+    # from the dense fit — reproduced as-is. Pin: finite, reconstructs,
+    # deterministic.
+    s3, t3, r3 = stl_fit_1d(y, n_p=24, q_s=13, d_s=0,
+                            jump_s=2, jump_t=5, jump_l=3)
+    assert np.isfinite(s3).all() and np.isfinite(t3).all()
+    np.testing.assert_allclose(
+        (s3 + t3 + r3).astype(np.float32), y.astype(np.float32), atol=1e-6)
+    s3b, t3b, _ = stl_fit_1d(y, n_p=24, q_s=13, d_s=0,
+                             jump_s=2, jump_t=5, jump_l=3)
+    np.testing.assert_array_equal(s3, s3b)
+    np.testing.assert_array_equal(t3, t3b)
 
 
 def test_loess_jump_matches_dense_at_sampled_points():

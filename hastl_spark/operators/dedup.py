@@ -80,14 +80,36 @@ def minhash_signatures(docs: DataFrame, n: int = 5, k: int = 32,
     return sig.select(F.col(id_col), F.array(*[f"h{j}" for j in range(k)]).alias("sig"))
 
 
+def _cap_band_buckets(band_rows: DataFrame, max_bucket: int | None,
+                      bucket_cols: tuple[str, str] = ("band", "bh")) -> DataFrame:
+    """Drop band buckets holding more rows than ``max_bucket`` before the
+    candidate self-join (a bucket of b rows costs b^2/2 pairs; exact-dup
+    clusters collide in EVERY band, so a web corpus with a large duplicate
+    group would otherwise go quadratic). Exact duplicates should be removed
+    by hash-keyed exact dedup first; the cap is the backstop, auditable the
+    same way as dropped_bucket_stats."""
+    if max_bucket is None:
+        return band_rows
+    oversized = (
+        band_rows.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select(*bucket_cols)
+    )
+    return band_rows.join(F.broadcast(oversized), list(bucket_cols), "left_anti")
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 5, k: int = 32, bands: int = 8,
                       threshold: float = 0.5, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      max_bucket: int | None = 65536) -> DataFrame:
     """MinHash LSH candidate generation + signature-similarity filter.
 
     Bands of k/bands rows each; docs colliding in >=1 band become candidate
     pairs (the only join is per-band on the band hash — linear-ish);
     estimated Jaccard = fraction of matching signature positions.
+    ``max_bucket`` caps the per-(band, hash) bucket size (see
+    :func:`_cap_band_buckets`).
     """
     assert k % bands == 0
     r = k // bands
@@ -104,6 +126,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 5, k: int = 32, bands: int = 8,
             ])
         ).alias("bb"),
     ).select(id_col, "sig", "bb.band", "bb.bh")
+    band_rows = _cap_band_buckets(band_rows, max_bucket)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     cand = (
@@ -165,15 +188,7 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                 for bi in range(n_bands)
             ])).alias("bb"),
         ).select(id_col, vec_col, "bb.band", "bb.bh")
-        if max_bucket is not None:
-            oversized = (
-                bands.groupBy("band", "bh")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") > max_bucket)
-                .select("band", "bh")
-            )
-            # hot buckets are few by construction -> broadcast anti join
-            bands = bands.join(F.broadcast(oversized), ["band", "bh"], "left_anti")
+        bands = _cap_band_buckets(bands, max_bucket)
         a, b = bands.alias("a"), bands.alias("b")
         cand = (
             a.join(b, ["band", "bh"])
@@ -406,7 +421,8 @@ def simhash(docs: DataFrame, n: int = 4, text_col: str = "text",
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, n: int = 4,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       max_bucket: int | None = 65536) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, candidate-bucketed on
     four 16-bit bands. By pigeonhole, a pair at Hamming distance <= 3 must
     agree on at least one full band, so recall is exact up to the default
@@ -426,6 +442,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, n: int = 4,
             ])
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.bh")
+    bands = _cap_band_buckets(bands, max_bucket)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, ["band", "bh"])

@@ -232,6 +232,18 @@ def q_embedding_near_dups(spark, sf_dir):
     return embedding_near_dups(embs, threshold=0.4, use_lsh=False)
 
 
+def q_embeddings_quantized(spark, sf_dir):
+    """Int8 embedding quantization (posexploded to scalar rows so scale and
+    every quantized value are hash-checked against the SQL twin)."""
+    from hastl_spark.operators.similarity import quantize_embeddings
+
+    qt = quantize_embeddings(_embs(spark, sf_dir).filter("vec_id < 200"))
+    return qt.select(
+        "vec_id", F.round("scale", 6).alias("scale"),
+        F.posexplode("qvec").alias("pos", "qv"),
+    ).select("vec_id", "scale", "pos", F.col("qv").cast("int").alias("qv"))
+
+
 def q_label_centroid_norm(spark, sf_dir):
     """Per-label mean-embedding norm — aggregate over array column via
     posexplode + regroup (array aggregation pattern)."""
@@ -402,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_portable": q_minhash_portable,
         "embeddings_knn": q_embeddings_knn,
         "embedding_near_dups": q_embedding_near_dups,
+        "embeddings_quantized": q_embeddings_quantized,
         "label_centroid_norm": q_label_centroid_norm,
         "gorilla_roundtrip_1h": q_gorilla_roundtrip_1h,
         "simhash_portable": q_simhash_portable,
@@ -615,6 +628,20 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE a.vec_id < 400 AND b.vec_id < 400
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "embeddings_quantized": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, x -> abs(x))) / 127.0
+                       AS scale
+              FROM embeddings WHERE vec_id < 200
+            )
+            SELECT vec_id, round(scale, 6) AS scale,
+                   CAST(g.pos - 1 AS INT) AS pos,
+                   CAST(CASE WHEN scale > 0
+                             THEN floor(embedding[g.pos] / scale + 0.5)
+                             ELSE 0 END AS INT) AS qv
+            FROM s, unnest(generate_series(1, len(embedding))) g(pos)
         """,
         "label_centroid_norm": """
             WITH per_dim AS (

@@ -65,6 +65,54 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def quantize_embeddings(embeddings: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|v|/127,
+    q[i] = floor(v[i]/scale + 0.5) — 4x smaller than float32 at rest, the
+    standard storage/ANN-memory trade at corpus scale. Pure Catalyst
+    (transform/array_max); floor(x+0.5) instead of round() so the
+    arithmetic is bit-identical in ANSI SQL engines (round() half-way
+    semantics differ across engines).
+
+    Returns (id_col, scale double, qvec array<tinyint>); dequantized value
+    = q[i] * scale. All-zero vectors get scale 0 and qvec of zeros."""
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(v, lambda x: F.floor(x / F.col("scale") + 0.5).cast("tinyint")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return (embeddings
+            .withColumn("scale", scale.cast("double"))
+            .select(F.col(id_col), "scale", q.alias("qvec")))
+
+
+def dequantized_cosine_topk(embeddings: DataFrame, queries: DataFrame,
+                            k: int = 5, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Brute-force top-k over the int8-quantized corpus (queries stay
+    float): the memory-bound scan reads 1/4 the bytes; scores are cosine of
+    the dequantized vectors. Same plan shape as brute_force_topk."""
+    qt = quantize_embeddings(embeddings, id_col, vec_col)
+    corpus = qt.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform("qvec", lambda b: b.cast("double") * F.col("scale")).alias("nvec"),
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("qvec"), F.col("nvec"))
+                    / (_norm(F.col("qvec")) * _norm(F.col("nvec"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def random_hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.normal(0, 1, (n_bits, dim)).tolist()

@@ -288,3 +288,17 @@ def test_scrub_text_masks_planted_urls_and_emails(spark):
     assert got[1] == "see <URL> and mail <EMAIL> now"
     assert got[2] == "no sensitive content here"
     assert got[3] == "<URL> end"
+
+
+def test_quantized_cosine_close_to_exact(spark, embs):
+    from hastl_spark.operators.similarity import dequantized_cosine_topk
+
+    exact = brute_force_topk(embs, embs.filter("vec_id < 5"), k=5).toPandas()
+    quant = dequantized_cosine_topk(embs, embs.filter("vec_id < 5"), k=5).toPandas()
+    # int8 keeps >= 4/5 of exact top-5 per query and cosine within 1e-2
+    for q in range(5):
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(quant[quant.query_id == q].neighbor_id)
+        assert len(e & a) >= 4, (q, e, a)
+    m = exact.merge(quant, on=["query_id", "neighbor_id"], suffixes=("_e", "_q"))
+    assert (np.abs(m.cosine_e - m.cosine_q) < 1e-2).all()

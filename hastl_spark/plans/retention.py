@@ -40,7 +40,8 @@ def apply_retention(spark: SparkSession, table: KeyedTable, keep_seconds: int,
     overwrite."""
     man = table._load()
     spec = table.part_spec
-    if spec and spec.get("day_of") == bucket_col and man["partitions"]:
+    if (spec and spec.get("day_of") == bucket_col and man["partitions"]
+            and spec.get("fmt", "yyyy-MM-dd") in ("yyyy-MM-dd", "yyyy-MM")):
         return _apply_retention_day_pruned(spark, table, keep_seconds,
                                            bucket_col, now)
     cur = table.read(spark)
@@ -72,7 +73,11 @@ def _apply_retention_day_pruned(spark: SparkSession, table: KeyedTable,
         else:
             now = table.read(spark).agg(F.max(bucket_col)).collect()[0][0]
     cutoff = now - datetime.timedelta(seconds=int(keep_seconds))
-    cutoff_day = cutoff.date().isoformat()
+    # partition time-key at the table's granularity (day or month) —
+    # ISO formats compare lexicographically either way
+    py_fmt = {"yyyy-MM-dd": "%Y-%m-%d", "yyyy-MM": "%Y-%m"}[
+        table.part_spec.get("fmt", "yyyy-MM-dd")]
+    cutoff_day = cutoff.strftime(py_fmt)
 
     day_of = lambda p: p.split(PART_SEP)[-1]
     fully_old = [p for p in pvals if day_of(p) < cutoff_day]

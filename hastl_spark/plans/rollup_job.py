@@ -27,7 +27,7 @@ from hastl_spark.operators.gapfill import stl_gapfill
 from hastl_spark.operators.rollup import rollup_1m, rollup_tier, token_invariant_violations, with_event_time
 from hastl_spark.session import get_spark
 from hastl_spark.sources.sequences import SEQS_PER_BUCKET, generate_scale
-from hastl_spark.sources.tables import DAY_SPEC, PART_SEP, KeyedTable
+from hastl_spark.sources.tables import DAY_SPEC, MONTH_SPEC, PART_SEP, KeyedTable
 
 
 def run_pipeline(
@@ -74,8 +74,11 @@ def run_pipeline(
     rec = t_1m.merge_upsert(spark, r1m, watermark_col="bucket")
     metrics["tier_1m"] = rec
 
-    # STL gap-fill on the 1m series
-    cur_1m = t_1m.read(spark)
+    # STL gap-fill on the 1m series. The maintained 1m table is consumed by
+    # THREE downstream stages (gap-fill, 1h re-rollup, chunk encode) — cache
+    # the read so the day-partitioned file set (hundreds of small parquet
+    # files at multi-day spans) is listed and decoded once, not three times.
+    cur_1m = t_1m.read(spark).persist()
     gap = stl_gapfill(cur_1m, **(stl_kwargs or {}))
     t_gap = KeyedTable(os.path.join(out_dir, "gapfill_1m"), ["source", "bucket"])
     rec = t_gap.merge_upsert(spark, gap, watermark_col="bucket")
@@ -88,8 +91,10 @@ def run_pipeline(
     # yields complete tier buckets); MERGE keeps every other day's rows.
     days = sorted({p.split(PART_SEP)[1] for p in metrics["tier_1m"]["partitions"]})
     upd_1m = cur_1m.filter(F.to_date("bucket").cast("string").isin(days))
+    # month granularity for 1h: a source-day of hourly data is 24 rows, so
+    # day dirs would be pathological small files at any input scale
     t_1h = KeyedTable(os.path.join(out_dir, "tier_1h"), ["source", "bucket"],
-                      part_spec=DAY_SPEC)
+                      part_spec=MONTH_SPEC)
     r1h = rollup_tier(upd_1m, "1h")
     metrics["tier_1h"] = t_1h.merge_upsert(spark, r1h, watermark_col="bucket")
     t_1d = KeyedTable(os.path.join(out_dir, "tier_1d"), ["source", "bucket"])
@@ -102,8 +107,9 @@ def run_pipeline(
         # per-tier chunk streams union into a single MERGE (one write job
         # instead of four — chunk rows are tiny, job latency dominated)
         parts = []
-        for tier, table in (("1m", t_1m), ("1h", t_1h), ("1d", t_1d)):
-            parts.append(gorilla_chunks(table.read(spark), "sum_n_tok")
+        tier_reads = {"1m": cur_1m, "1h": t_1h.read(spark), "1d": t_1d.read(spark)}
+        for tier, tdf in tier_reads.items():
+            parts.append(gorilla_chunks(tdf, "sum_n_tok")
                          .withColumn("tier", F.lit(tier)))
         parts.append(gorilla_chunks(t_gap.read(spark), "gapfilled")
                      .withColumn("tier", F.lit("gapfill_1m")))
@@ -120,6 +126,7 @@ def run_pipeline(
         metrics["chunks"] = t_ch.merge_upsert(spark, chunks,
                                               replace_partitions=True)
 
+    cur_1m.unpersist()
     wall = time.time() - t_start
     pts = (metrics["tier_1m"]["rows_in"] + metrics["tier_1h"]["rows_in"]
            + metrics["tier_1d"]["rows_in"] + metrics["gapfill_1m"]["rows_in"])

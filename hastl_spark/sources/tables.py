@@ -38,15 +38,20 @@ PART_SEP = "~"
 # part_spec: declarative composite-partition derivation, persisted in the
 # manifest so ANY reader (retention, tests, a resumed run) rebuilds the same
 # ``_part`` column without knowing how the table was constructed.
-#   {"cols": ["source"], "day_of": "bucket"}  -> source~2026-01-05
-#   {"cols": ["source", "tier"]}              -> source~1h
+#   {"cols": ["source"], "day_of": "bucket"}                     -> source~2026-01-05
+#   {"cols": ["source"], "day_of": "bucket", "fmt": "yyyy-MM"}   -> source~2026-01
+#   {"cols": ["source", "tier"]}                                 -> source~1h
+# Granularity should match the tier's row density: day for the 1m tier,
+# month for the 1h tier (a source-day of 1h data is only 24 rows — day dirs
+# there are pathological small files at ANY input scale).
 DAY_SPEC = {"cols": ["source"], "day_of": "bucket"}
+MONTH_SPEC = {"cols": ["source"], "day_of": "bucket", "fmt": "yyyy-MM"}
 
 
 def apply_part_spec(df: DataFrame, spec: dict, out_col: str = "_part") -> DataFrame:
     parts = [F.col(c) for c in spec.get("cols", [])]
     if spec.get("day_of"):
-        parts.append(F.date_format(spec["day_of"], "yyyy-MM-dd"))
+        parts.append(F.date_format(spec["day_of"], spec.get("fmt", "yyyy-MM-dd")))
     return df.withColumn(out_col, F.concat_ws(PART_SEP, *parts))
 
 

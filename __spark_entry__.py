@@ -5,8 +5,11 @@
 the training-data breadth set); ``oracle_sql()`` gives the DuckDB-equivalent
 ANSI SQL for every SQL-expressible one (value columns are rounded on BOTH
 sides so double-accumulation-order drift cannot flip the value hash).
-Non-SQL-expressible ops (STL decomposition, Gorilla codec, MinHash/SimHash
-via xxhash64, fingerprints) are rows-only by design.
+Non-SQL-expressible ops (STL decomposition / LOESS smoothing / trend
+strength, and the xxhash64-based LSH candidate generators) are rows-only by
+design; each has either a SQL-portable twin in the oracle set (MinHash /
+SimHash / fingerprints via polynomial hashes, full-probe IVF, Gorilla
+round-trip) or a kernel/recall test pinning it.
 """
 
 from __future__ import annotations

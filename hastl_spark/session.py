@@ -19,6 +19,19 @@ def get_spark(cpus: int | None = None, shuffle_partitions: int | None = None,
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus), 8)
+    # one BLAS/OMP thread per python worker: Spark already runs one task
+    # per core, so intra-task numpy threading oversubscribes the host — and
+    # silently un-pins the parallelism level under measurement (a local[2]
+    # session would borrow extra host cores inside the UDFs, corrupting
+    # scaling-efficiency numbers). Must be in the JVM's env before launch;
+    # python workers inherit it.
+    pin_threads = {}
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+        # under spark-submit the JVM predates this process's env, so python
+        # workers need the pin via executorEnv as well
+        pin_threads[f"spark.executorEnv.{var}"] = os.environ[var]
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -35,9 +48,17 @@ def get_spark(cpus: int | None = None, shuffle_partitions: int | None = None,
         # at local[32]); plain per-task reads scale. Revisit per filesystem
         # on a real cluster (S3/HDFS benefit from vectored coalescing).
         .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
+        # commit files on task completion (v2): the v1 job-commit walks and
+        # renames every output file sequentially on the driver — a fixed
+        # cost linear in file count that dominates partitioned tier writes.
+        # Snapshot visibility is provided by the table layer's atomic
+        # manifest, not by job-commit atomicity, so v2 is safe here.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in pin_threads.items():
+        b = b.config(k, v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

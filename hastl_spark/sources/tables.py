@@ -222,16 +222,24 @@ class KeyedTable:
         pc = self.partition_col
         updates = self._with_part(updates)
 
-        # Stage the updates FIRST: the (potentially expensive) updates plan
-        # executes exactly once, straight into a partitioned staging write —
-        # no cache and no separate stats pre-pass (both would re-execute or
-        # materialize the full plan). Affected partitions are then discovered
-        # from the staged dir names, merged with their current data (a scan
-        # over already-aggregated, table-sized files), and published.
+        from pyspark import StorageLevel
+
+        # Stage the updates FIRST, streaming the (potentially expensive)
+        # updates plan through a MEMORY_AND_DISK persist: the plan executes
+        # exactly once (into the cache, during the write), and the
+        # stats/watermark aggregation afterwards reads the cache instead of
+        # re-listing + re-decoding the hundreds of freshly written partition
+        # files — a fixed driver+IO cost that dominated merge latency on
+        # day-partitioned tables. Tier data is already aggregated (bounded
+        # by time-range x keys), so the cached footprint is small; DISK
+        # spill bounds the worst case.
         # Clustering rows by the partition column before partitionBy keeps
         # one file per partition — without it every shuffle partition spills
         # a file into every partition dir and downstream scans pay per-file
         # task overhead. At cluster scale this becomes a file-size budget.
+        updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
+        stats_src = updates
+        merged = None
         rel_base = os.path.join("data", f"s{snap:06d}")
         if not man["partitions"]:
             # first snapshot: the staged write IS the table
@@ -257,25 +265,28 @@ class KeyedTable:
                 cur = self._read_dirs(spark, [man["partitions"][p] for p in existing])
                 keep = cur.join(staged.select(*self.key_cols).distinct(),
                                 on=self.key_cols, how="left_anti")
-                merged = keep.unionByName(staged.select(*keep.columns))
+                merged = (keep.unionByName(staged.select(*keep.columns))
+                          .persist(StorageLevel.MEMORY_AND_DISK))
                 (merged.withColumn("_pk", F.col(pc))
                  .repartition(F.col(pc))
                  .write.mode("overwrite").partitionBy(pc)
                  .parquet(os.path.join(self.path, rel_base)))
+                stats_src = merged
             else:
                 # nothing to key-merge (fresh partitions, or full-partition
                 # replace): the staged write IS the new snapshot — rename,
                 # don't rewrite
                 os.rename(stage_dir, os.path.join(self.path, rel_base))
 
-        # watermarks + row counts from one tiny scan of the written table data
+        # watermarks + row counts from the cached written data (no file scan)
         aggs = [F.count(F.lit(1)).alias("_n")]
         if watermark_col is not None:
             aggs.append(F.max(watermark_col).alias("_wm"))
-        written = self._read_dirs(
-            spark, [os.path.join(rel_base, d) for d in part_dirs.values()])
-        stats = {str(r[0]): r for r in written.groupBy(pc).agg(*aggs).collect()}
+        stats = {str(r[0]): r for r in stats_src.groupBy(pc).agg(*aggs).collect()}
         rows = sum(r["_n"] for r in stats.values())
+        updates.unpersist()
+        if merged is not None:
+            merged.unpersist()
         if man["partitions"]:
             import shutil as _sh
 
@@ -324,6 +335,10 @@ class KeyedTable:
         snap = man["snapshot"] + 1
         pc = self.partition_col
         df = self._with_part(df)
+
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
         rel_base = os.path.join("data", f"s{snap:06d}")
         (df.withColumn("_pk", F.col(pc))
          .repartition(F.col(pc))
@@ -335,14 +350,14 @@ class KeyedTable:
         if watermark_col is not None:
             aggs.append(F.max(watermark_col).alias("_wm"))
         if part_dirs:
-            written = self._read_dirs(
-                spark, [os.path.join(rel_base, d) for d in part_dirs.values()])
+            # stats from the cached written data — no file re-scan
             stats = {str(r[0]): r
-                     for r in written.groupBy(pc).agg(*aggs).collect()}
+                     for r in df.groupBy(pc).agg(*aggs).collect()}
         else:
             # every row aged out: publish an empty snapshot (partitions={})
             # rather than crashing on a zero-path read
             stats = {}
+        df.unpersist()
         man["partitions"] = {
             p: os.path.join(rel_base, d) for p, d in part_dirs.items()}
         if watermark_col is not None:

@@ -105,6 +105,7 @@ def run_config(zpath: str, seq_path: str, cpus: int, runs: int) -> dict:
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--conf", "spark.sql.session.timeZone=UTC",
         "--conf", "spark.hadoop.parquet.hadoop.vectored.io.enabled=false",
+        "--conf", "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
         "--conf", f"spark.local.dir={tmp}",
         "--driver-memory", "16g",
         os.path.join(ROOT, "hastl_spark", "plans", "rollup_job.py"),
@@ -114,7 +115,13 @@ def run_config(zpath: str, seq_path: str, cpus: int, runs: int) -> dict:
         "--warmup", "1",
         "--repeat", str(runs),
     ]
-    env = dict(os.environ, PYTHONPATH=zpath)
+    # pin BLAS/OMP to one thread per python worker: otherwise local[2]
+    # silently borrows extra host cores inside the pandas UDFs and the
+    # measured scaling efficiency is fiction (get_spark also sets these via
+    # executorEnv; the JVM env copy covers any pre-session numpy import)
+    env = dict(os.environ, PYTHONPATH=zpath,
+               OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
+               MKL_NUM_THREADS="1", NUMEXPR_NUM_THREADS="1")
     proc = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     assert line, f"no JSON from spark-submit (rc={proc.returncode}):\n{proc.stderr[-3000:]}"

@@ -44,25 +44,40 @@ def token_invariant_violations(df: DataFrame) -> DataFrame:
     )
 
 
-def rollup_1m(df: DataFrame, n_salts: int = 16, value_col: str = "n_tok") -> DataFrame:
+def rollup_1m(df: DataFrame, n_salts: int = 16, value_col: str = "n_tok",
+              with_invariant: bool = False) -> DataFrame:
     """raw -> 1m: per (source, minute bucket): doc count + token sum.
 
     Two-phase salted aggregation; output schema:
     (source, bucket timestamp, cnt long, sum_n_tok long).
+
+    ``with_invariant=True`` folds the per-row token-array invariant into the
+    same pass (extra columns ``bad`` and ``chk``): the violation count and
+    the order-insensitive sampled content checksum are both associative, so
+    they ride the partial aggregation instead of costing a second full scan
+    of the raw table (the invariant check used to be ~25% of pipeline wall).
+    Totals = sum(bad), bit_xor(chk) over the output.
     """
     df = df.withColumn("bucket", F.date_trunc("minute", F.col("ts")))
     salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salts)).alias("salt")
-    partial = (
-        df.groupBy("source", "bucket", salt)
-        .agg(
-            F.count(F.lit(1)).alias("p_cnt"),
-            F.sum(F.col(value_col).cast("long")).alias("p_sum"),
-        )
-    )
-    return (
-        partial.groupBy("source", "bucket")
-        .agg(F.sum("p_cnt").alias("cnt"), F.sum("p_sum").alias("sum_n_tok"))
-    )
+    p_aggs = [
+        F.count(F.lit(1)).alias("p_cnt"),
+        F.sum(F.col(value_col).cast("long")).alias("p_sum"),
+    ]
+    f_aggs = [F.sum("p_cnt").alias("cnt"), F.sum("p_sum").alias("sum_n_tok")]
+    if with_invariant:
+        p_aggs += [
+            F.expr("sum(CASE WHEN size(tokens) <> n_tok AND size(tokens) >= 0 "
+                   "THEN 1 ELSE 0 END)").alias("p_bad"),
+            F.expr("bit_xor(CASE WHEN size(tokens) > 0 THEN xxhash64(doc_id, "
+                   "n_tok, element_at(tokens, 1), element_at(tokens, "
+                   "size(tokens))) ELSE xxhash64(doc_id, n_tok) END)"
+                   ).alias("p_chk"),
+        ]
+        f_aggs += [F.sum("p_bad").alias("bad"),
+                   F.expr("bit_xor(p_chk)").alias("chk")]
+    partial = df.groupBy("source", "bucket", salt).agg(*p_aggs)
+    return partial.groupBy("source", "bucket").agg(*f_aggs)
 
 
 def rollup_tier(lower: DataFrame, tier: str,

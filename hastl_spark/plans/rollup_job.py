@@ -45,33 +45,34 @@ def run_pipeline(
 
     seq = with_event_time(sequences)
 
+    # raw -> 1m (salted two-phase agg). Day-partitioned (source~day): an
+    # incremental/backfill merge rewrites only the touched days' files.
+    # The per-row token-array invariant rides the SAME pass as associative
+    # extra aggregates (count of size(tokens)<>n_tok violations + an
+    # order-insensitive sampled content checksum — catches drops,
+    # truncation and reordering at zero extra scans; the old separate
+    # invariant scan was ~25% of pipeline wall). A FULL per-element hash
+    # costs 2-5x the pipeline at scale (array hashing is outside codegen),
+    # so full-fidelity token equality is asserted in the pytest suite at
+    # small scale instead (tests/test_pipeline_spark).
+    r1m_inv = rollup_1m(seq, n_salts=n_salts, with_invariant=check_invariant)
     if check_invariant:
-        # single scan over the post-row-stage frame: (a) n_tok must equal the
-        # token-array length on every row; (b) an order-insensitive SAMPLED
-        # content checksum (doc_id, length, first + last token) is recorded
-        # in the lineage — it catches drops, truncation and reordering by any
-        # row-level stage at ~IO cost. A FULL per-element hash over the token
-        # arrays costs 2-5x the whole pipeline at scale (Spark hashes array
-        # elements outside codegen), so full-fidelity equality is asserted in
-        # the pytest suite at small scale instead (tests/test_pipeline_spark).
-        row = seq.selectExpr(
-            "sum(CASE WHEN size(tokens) <> n_tok AND size(tokens) >= 0 "
-            "THEN 1 ELSE 0 END) AS bad",
-            "bit_xor(CASE WHEN size(tokens) > 0 THEN xxhash64(doc_id, n_tok, "
-            "element_at(tokens, 1), element_at(tokens, size(tokens))) "
-            "ELSE xxhash64(doc_id, n_tok) END) AS chk",
-        ).collect()[0]
+        from pyspark import StorageLevel
+
+        r1m_inv = r1m_inv.persist(StorageLevel.MEMORY_AND_DISK)
+        row = r1m_inv.selectExpr("sum(bad) AS bad", "bit_xor(chk) AS chk").collect()[0]
         assert (row["bad"] or 0) == 0, \
             f"token-array invariant violated on {row['bad']} rows"
         metrics["token_invariant_violations"] = int(row["bad"] or 0)
         metrics["token_checksum"] = str(row["chk"])
-
-    # raw -> 1m (salted two-phase agg). Day-partitioned (source~day): an
-    # incremental/backfill merge rewrites only the touched days' files.
-    r1m = rollup_1m(seq, n_salts=n_salts)
+        r1m = r1m_inv.select("source", "bucket", "cnt", "sum_n_tok")
+    else:
+        r1m = r1m_inv
     t_1m = KeyedTable(os.path.join(out_dir, "tier_1m"), ["source", "bucket"],
                       part_spec=DAY_SPEC)
     rec = t_1m.merge_upsert(spark, r1m, watermark_col="bucket")
+    if check_invariant:
+        r1m_inv.unpersist()
     metrics["tier_1m"] = rec
 
     # STL gap-fill on the 1m series. The maintained 1m table is consumed by

@@ -143,6 +143,12 @@ def main():
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--paired", action="store_true",
+                    help="interleave high/low config runs and compute the "
+                         "efficiency per adjacent pair: this host's capacity "
+                         "drifts >2x over the minutes a sequential protocol "
+                         "takes, so min-of-phase comparisons mix host states; "
+                         "paired ratios control for the drift")
     args = ap.parse_args()
 
     calib = cpu_calibration(args.low, args.high)
@@ -152,13 +158,43 @@ def main():
     seq_path = gen_input(args.scale)
 
     results = {}
-    for cpus in (args.high, args.low):
-        results[cpus] = run_config(zpath, seq_path, cpus, args.runs)
-        print(f"local[{cpus}]: {results[cpus]}", flush=True)
+    pairs = None
+    if args.paired:
+        pairs = []
+        hi_walls, lo_walls = [], []
+        for i in range(args.runs):
+            hi_r = run_config(zpath, seq_path, args.high, 1)
+            lo_r = run_config(zpath, seq_path, args.low, 1)
+            ratio = lo_r["min_wall_s"] / hi_r["min_wall_s"]
+            pairs.append({
+                "high_wall_s": hi_r["min_wall_s"],
+                "low_wall_s": lo_r["min_wall_s"],
+                "speedup": round(ratio, 3),
+                "efficiency": round(ratio / (args.high / args.low), 3),
+            })
+            hi_walls.append(hi_r["min_wall_s"])
+            lo_walls.append(lo_r["min_wall_s"])
+            print(f"pair {i}: {pairs[-1]}", flush=True)
+        results[args.high] = {
+            "walls_s": hi_walls, "min_wall_s": min(hi_walls),
+            "median_wall_s": statistics.median(hi_walls)}
+        results[args.low] = {
+            "walls_s": lo_walls, "min_wall_s": min(lo_walls),
+            "median_wall_s": statistics.median(lo_walls)}
+    else:
+        for cpus in (args.high, args.low):
+            results[cpus] = run_config(zpath, seq_path, cpus, args.runs)
+            print(f"local[{cpus}]: {results[cpus]}", flush=True)
 
     lo, hi = results[args.low], results[args.high]
-    speedup = lo["min_wall_s"] / hi["min_wall_s"]
-    eff = speedup / (args.high / args.low)
+    if pairs:
+        best = max(p["efficiency"] for p in pairs)
+        med = statistics.median(p["efficiency"] for p in pairs)
+        speedup = med * (args.high / args.low)
+        eff = med
+    else:
+        speedup = lo["min_wall_s"] / hi["min_wall_s"]
+        eff = speedup / (args.high / args.low)
     report = {
         "scale": args.scale,
         "low_cpus": args.low,
@@ -169,6 +205,11 @@ def main():
         "hardware_ceiling": calib["ceiling"],
         "efficiency_vs_hardware_ceiling": round(eff / calib["ceiling"], 3),
     }
+    if pairs:
+        report["protocol"] = "paired-interleaved"
+        report["pairs"] = pairs
+        report["efficiency_median_pair"] = med
+        report["efficiency_best_pair"] = best
     print(json.dumps(report))
 
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
@@ -183,16 +224,17 @@ hastl_spark/plans/rollup_job.py`), same pre-generated deterministic input
 shuffle partitions scaled with cores, input/outputs/shuffle on tmpfs
 (the sandbox block device throttles; on a real cluster IO scales with
 executors), 1 in-JVM warmup + {args.runs} timed executions per config,
-statistic = min (least-interference sample on this shared, noisy VM —
-identical configs vary up to 2x run-to-run here).
+statistic = {'PAIRED-INTERLEAVED: configs alternate high,low,high,low so each ratio compares adjacent-in-time runs — this host drifts >2x over the minutes a sequential protocol takes, which mixes host states into the ratio; efficiency = median of per-pair ratios' if pairs else 'min (least-interference sample on this shared, noisy VM — identical configs vary up to 2x run-to-run here)'}.
 
-| parallelism | walls (s) | min wall (s) | rolled-up points | points/sec (min wall) |
-|---|---|---|---|---|
-| local[{args.low}] | {lo['walls_s']} | {lo['min_wall_s']} | {lo['rolled_up_points']} | {lo['points_per_sec_min']} |
-| local[{args.high}] | {hi['walls_s']} | {hi['min_wall_s']} | {hi['rolled_up_points']} | {hi['points_per_sec_min']} |
+| parallelism | walls (s) | min wall (s) | median wall (s) |
+|---|---|---|---|
+| local[{args.low}] | {lo['walls_s']} | {lo['min_wall_s']} | {lo['median_wall_s']} |
+| local[{args.high}] | {hi['walls_s']} | {hi['min_wall_s']} | {hi['median_wall_s']} |
+
+{chr(10).join(f"- pair {i}: local[{args.high}] {pr['high_wall_s']}s vs local[{args.low}] {pr['low_wall_s']}s -> speedup {pr['speedup']}x, efficiency {pr['efficiency']}" for i, pr in enumerate(pairs)) if pairs else ''}
 
 **speedup {args.low}->{args.high}: {report['speedup_min']}x — scaling
-efficiency {report['scaling_efficiency']} (target >= 0.8).**
+efficiency {report['scaling_efficiency']} (target >= 0.8){', best pair ' + str(report['efficiency_best_pair']) if pairs else ''}.**
 
 ## Hardware calibration (what this VM can express at all)
 

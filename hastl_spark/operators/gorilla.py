@@ -179,22 +179,98 @@ def encode(timestamps: np.ndarray, values: np.ndarray) -> bytes:
     return head + struct.pack("<II", len(ts_bytes), len(val_bytes)) + ts_bytes + val_bytes
 
 
-class _Cursor:
-    __slots__ = ("bits", "pos")
+def _sliding_words(buf: bytes) -> np.ndarray:
+    """w[p] = the 64 bits of ``buf`` starting at bit p, MSB-first, as uint64
+    (positions past the end read as 0). Built from BYTE-offset big-endian
+    words (8 vectorized shifts) broadcast over the 8 intra-byte offsets —
+    no per-bit work anywhere."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    b = np.concatenate([b, np.zeros(16, dtype=np.uint8)])
+    n_words = len(b) - 15  # byte offsets with a full 8+1 bytes ahead
+    W = np.zeros(n_words, dtype=np.uint64)
+    for j in range(8):
+        W |= b[j:j + n_words].astype(np.uint64) << _U64(8 * (7 - j))
+    nxt = b[8:8 + n_words].astype(np.uint64)
+    r = np.arange(8, dtype=np.uint64)
+    # w[8*i + r] = (W[i] << r) | (b[i+8] >> (8-r));  r=0: b>>8 == 0
+    return ((W[:, None] << r[None, :])
+            | (nxt[:, None] >> (_U64(8) - r[None, :]))).ravel()
 
-    def __init__(self, buf: bytes):
-        self.bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
-        self.pos = 0
 
-    def take(self, k: int) -> int:
-        v = 0
-        b = self.bits
-        p = self.pos
-        for _ in range(k):
-            v = (v << 1) | int(b[p])
+def _decode_timestamps(ts_buf: bytes, n: int, t0: int) -> np.ndarray:
+    """Fully vectorized timestamp decode: a token-length table per bit
+    position + orbit materialization by pointer doubling finds all token
+    starts without a sequential bit walk; payload extraction, dod -> delta
+    -> timestamp are then two cumsums."""
+    w = _sliding_words(ts_buf)
+    L = len(w)
+    top4 = (w >> _U64(60)).astype(np.int64)
+    # token length by control prefix: 0 | 10 | 110 | 1110 | 1111
+    tl = np.where(top4 < 8, 1,                      # '0...'
+         np.where(top4 < 12, 9,                     # '10..' + 7
+         np.where(top4 < 14, 12,                    # '110.' + 9
+         np.where(top4 < 15, 16, 68))))             # '1110'+12 | '1111'+64
+    f = np.minimum(np.arange(L, dtype=np.int64) + tl, L - 1)
+    starts = np.zeros(1, dtype=np.int64)
+    jump = f
+    while len(starts) < n - 1:
+        starts = np.concatenate([starts, jump[starts]])
+        if len(starts) < n - 1:
+            jump = jump[jump]
+    starts = starts[:n - 1]
+
+    ws = w[starts]
+    c = top4[starts]
+    dod = np.zeros(n - 1, dtype=np.int64)  # '0' tokens stay 0
+    b1 = (c >= 8) & (c < 12)   # '10..' + 7b
+    b2 = (c >= 12) & (c < 14)  # '110.' + 9b
+    b3 = c == 14               # '1110' + 12b
+    b4 = c == 15               # '1111' + 64b raw
+    dod[b1] = ((ws[b1] >> _U64(64 - 9)) & _U64(0x7F)).astype(np.int64) - 63
+    dod[b2] = ((ws[b2] >> _U64(64 - 12)) & _U64(0x1FF)).astype(np.int64) - 255
+    dod[b3] = ((ws[b3] >> _U64(64 - 16)) & _U64(0xFFF)).astype(np.int64) - 2047
+    if b4.any():
+        dod[b4] = w[starts[b4] + 4].view(np.int64)
+    deltas = np.cumsum(dod)
+    ts = np.empty(n, dtype=np.int64)
+    ts[0] = t0
+    ts[1:] = t0 + np.cumsum(deltas)
+    return ts
+
+
+def _decode_values(val_buf: bytes, n: int, v0: int) -> np.ndarray:
+    """Value decode: one Python iteration per TOKEN (pure int arithmetic on
+    the precomputed sliding-word table — the round-2 version looped per BIT,
+    ~40x more iterations at typical 30-50-bit XOR payloads). Fully
+    vectorizing is blocked by the reuse-token length depending on the
+    current block, a sequential state; per-token is the scale-honest
+    compromise for the read path."""
+    w = _sliding_words(val_buf)
+    wl = w  # uint64 ndarray; int() per access
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = np.uint64(v0)
+    prev = int(v0)
+    p = 0
+    blk_lz = blk_len = 0
+    for i in range(1, n):
+        word = int(wl[p])
+        if word >> 63 == 0:
             p += 1
-        self.pos = p
-        return v
+            out[i] = prev
+            continue
+        if (word >> 62) & 1 == 0:  # '10' reuse current block
+            m = int(wl[p + 2]) >> (64 - blk_len)
+            xor = m << (64 - blk_lz - blk_len)
+            p += 2 + blk_len
+        else:  # '11' new block: 5b lz + 6b len (0 -> 64) + payload
+            blk_lz = (word >> 57) & 0x1F
+            blk_len = ((word >> 51) & 0x3F) or 64
+            m = int(wl[p + 13]) >> (64 - blk_len)
+            xor = m << (64 - blk_lz - blk_len)
+            p += 13 + blk_len
+        prev ^= xor
+        out[i] = prev
+    return out
 
 
 def decode(buf: bytes):
@@ -209,46 +285,12 @@ def decode(buf: bytes):
     ts_buf = buf[off:off + lt]
     val_buf = buf[off + lt:off + lt + lv]
 
-    ts = np.empty(n, dtype=np.int64)
-    ts[0] = t0
     if n > 1:
-        cur = _Cursor(ts_buf)
-        delta = 0
-        for i in range(1, n):
-            if cur.take(1) == 0:
-                dod = 0
-            elif cur.take(1) == 0:
-                dod = cur.take(7) - 63
-            elif cur.take(1) == 0:
-                dod = cur.take(9) - 255
-            elif cur.take(1) == 0:
-                dod = cur.take(12) - 2047
-            else:
-                raw = cur.take(64)
-                dod = raw - (1 << 64) if raw >= (1 << 63) else raw
-            delta += dod
-            ts[i] = ts[i - 1] + delta
-
-    bits = np.empty(n, dtype=np.uint64)
-    bits[0] = v0
-    if n > 1:
-        cur = _Cursor(val_buf)
-        blk_lz = blk_len = 0
-        prev = int(v0)
-        for i in range(1, n):
-            if cur.take(1) == 0:
-                bits[i] = prev
-                continue
-            if cur.take(1) == 0:  # '10' reuse
-                m = cur.take(blk_len)
-                xor = m << (64 - blk_lz - blk_len)
-            else:  # '11' new block
-                blk_lz = cur.take(5)
-                blk_len = cur.take(6) or 64
-                m = cur.take(blk_len)
-                xor = m << (64 - blk_lz - blk_len)
-            prev = prev ^ xor
-            bits[i] = prev
+        ts = _decode_timestamps(ts_buf, n, t0)
+        bits = _decode_values(val_buf, n, v0)
+    else:
+        ts = np.array([t0], dtype=np.int64)
+        bits = np.array([v0], dtype=np.uint64)
     return ts, bits.view(np.float64)
 
 

@@ -19,11 +19,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hastl_spark.operators.dedup import exact_dup_groups, minhash_lsh_pairs, ngram_jaccard_pairs
+from hastl_spark.operators.dedup import exact_dup_groups, ngram_jaccard_pairs
 from hastl_spark.operators.densify import densify_grid
 from hastl_spark.operators.gapfill import stl_gapfill
 from hastl_spark.operators.rollup import rollup_tier
-from hastl_spark.operators.similarity import ann_topk, brute_force_topk
+from hastl_spark.operators.similarity import brute_force_topk
 from hastl_spark.operators.text import lang_guess, quality_score, with_text_stats
 
 # ---------------------------------------------------------------- helpers
@@ -294,8 +294,14 @@ def q_gorilla_roundtrip_1h(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
+    """Banded MinHash LSH pairs, SQL-portable end to end (permutations AND
+    band folds) — the whole candidate-join plan is value-checked. The
+    xxhash64 variant (same plan shape, faster hash) is pinned by
+    tests/test_breadth.py recall tests."""
+    from hastl_spark.operators.dedup import minhash_lsh_pairs_portable
+
     docs = _docs(spark, sf_dir).filter("doc_id < 300")
-    return minhash_lsh_pairs(docs, n=5, k=32, bands=8, threshold=0.35)
+    return minhash_lsh_pairs_portable(docs, n=5, k=16, bands=4, threshold=0.35)
 
 
 def q_simhash_portable(spark, sf_dir):
@@ -315,8 +321,15 @@ def q_fingerprints_portable(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
+    """LSH ANN top-k with SQL-portable integer sign bits (pure Catalyst) —
+    value-checks the band-collision -> exact-re-rank -> top-k plan. The
+    pandas-UDF BLAS variant (ann_topk) stays the throughput path, pinned by
+    tests/test_breadth.py recall tests."""
+    from hastl_spark.operators.similarity import ann_topk_portable
+
     embs = _embs(spark, sf_dir)
-    return ann_topk(embs, embs.filter("vec_id < 8"), dim=64, k=5, n_bits=16, bands=8)
+    return ann_topk_portable(embs, embs.filter("vec_id < 8"), dim=64, k=5,
+                             n_bits=16, bands=4)
 
 
 def q_ivf_topk_full(spark, sf_dir):
@@ -340,7 +353,9 @@ def q_media_features(spark, sf_dir):
     reproducible in ANSI SQL."""
     from hastl_spark.operators.multimodal import extract_features, synthetic_media
 
-    feats = extract_features(synthetic_media(spark, 128), dim=8)
+    # use_real=False: the oracle reproduces the deterministic fake decoder;
+    # an environment with PIL installed must not silently change the values
+    feats = extract_features(synthetic_media(spark, 128), dim=8, use_real=False)
     return feats.select(
         "media_id", "kind", "n_bytes", F.posexplode("feat").alias("pos", "feat_v")
     ).withColumn("feat_v", F.round(F.col("feat_v").cast("double"), 4))
@@ -424,11 +439,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints_portable": q_fingerprints_portable,
         "ivf_topk_full": q_ivf_topk_full,
         "media_features": q_media_features,
-        # rows-only (no SQL equivalent: STL/LOESS kernels, xxhash64 LSH)
-        "stl_gapfill_1h": q_stl_gapfill_1h,
-        "loess_smooth_1h": q_loess_smooth_1h,
         "minhash_pairs": q_minhash_pairs,
         "ann_topk": q_ann_topk,
+        # rows-only (no SQL equivalent: the STL/LOESS numeric kernels)
+        "stl_gapfill_1h": q_stl_gapfill_1h,
+        "loess_smooth_1h": q_loess_smooth_1h,
         "trend_strength": q_trend_strength,
     }
 
@@ -625,6 +640,16 @@ def oracle_sql() -> dict[str, str]:
         "minhash_portable": __import__("hastl_spark.operators.dedup",
                                        fromlist=["minhash_portable_oracle_sql"]
                                        ).minhash_portable_oracle_sql(n=5, k=16, max_doc=300),
+        "minhash_pairs": __import__("hastl_spark.operators.dedup",
+                                    fromlist=["minhash_pairs_portable_oracle_sql"]
+                                    ).minhash_pairs_portable_oracle_sql(
+                                        n=5, k=16, bands=4, threshold=0.35,
+                                        max_doc=300),
+        "ann_topk": __import__("hastl_spark.operators.similarity",
+                               fromlist=["ann_topk_portable_oracle_sql"]
+                               ).ann_topk_portable_oracle_sql(
+                                   dim=64, k=5, n_bits=16, bands=4,
+                                   max_query=8),
         "embedding_near_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine

@@ -87,16 +87,20 @@ def _cap_band_buckets(band_rows: DataFrame, max_bucket: int | None,
     clusters collide in EVERY band, so a web corpus with a large duplicate
     group would otherwise go quadratic). Exact duplicates should be removed
     by hash-keyed exact dedup first; the cap is the backstop, auditable the
-    same way as dropped_bucket_stats."""
+    same way as dropped_bucket_stats.
+
+    Implemented as a bucket-count window over the (band, bh) exchange the
+    downstream self-join shuffles on anyway — ONE pass, no second groupBy
+    aggregate or broadcast anti-join (the round-2 variant added ~20% to
+    minhash_pairs from exactly that extra pass)."""
     if max_bucket is None:
         return band_rows
-    oversized = (
-        band_rows.groupBy(*bucket_cols)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > max_bucket)
-        .select(*bucket_cols)
-    )
-    return band_rows.join(F.broadcast(oversized), list(bucket_cols), "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols)
+    return (band_rows.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 5, k: int = 32, bands: int = 8,
@@ -153,7 +157,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 5, k: int = 32, bands: int = 8,
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         dim: int | None = None, use_lsh: bool = True,
-                        n_bits: int = 64, n_bands: int = 4,
+                        n_bits: int = 64, n_bands: int = 8,
                         max_bucket: int | None = 4096,
                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
@@ -162,15 +166,23 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     projection band collisions and re-ranks exactly; ``False`` scores every
     pair (exact, quadratic — only for bounded inputs / oracles).
 
-    Scale design: 64-bit signatures in four 16-bit bands give 65536 bucket
-    values per band, so a uniform corpus of N vectors yields ~N^2/65536
-    within-bucket pairs per band — vs 16 bucket values (a disguised
-    cartesian) with the old 4-bit bands. ``max_bucket`` additionally drops
-    band buckets holding more vectors than the cap (hot hash values — e.g.
-    near-zero vectors — would otherwise blow up the self-join quadratically);
-    dropped pairs can still collide in their other bands. Set
-    ``max_bucket=None`` to disable. Use :func:`dropped_bucket_stats` on the
-    same input to audit how many buckets the cap silenced."""
+    Candidate recall at the threshold (sign-LSH: P[bit agrees] =
+    1 - acos(cos)/pi, band collides iff all r bits agree, pair survives iff
+    >=1 of b bands collides): with the default 8 bands x 8 bits, a pair at
+    cosine 0.95 collides in >=1 band with prob ~0.988; at cosine 0.90,
+    ~0.89. The previous 4x16-bit default had only ~0.55 recall AT the 0.95
+    threshold (each 16-bit band collides with prob ~0.9^16~0.18) — fine for
+    exact-dup mining, wrong for at-threshold near-dups. Pinned by
+    tests/test_breadth.py planted-pair recall test.
+
+    Scale design: narrower bands trade bucket granularity (256 values per
+    8-bit band vs 65536) for recall; the ``max_bucket`` cap is what actually
+    bounds the self-join — it drops band buckets holding more vectors than
+    the cap (hot buckets — e.g. near-zero vectors or corpus-scale uniform
+    collisions — would otherwise blow up quadratically); dropped pairs can
+    still collide in their other bands. Set ``max_bucket=None`` to disable.
+    Use :func:`dropped_bucket_stats` on the same input to audit how many
+    buckets the cap silenced."""
     from .similarity import _dot, _norm, lsh_signatures
 
     if use_lsh:
@@ -223,11 +235,18 @@ def dup_group_labels(nodes: DataFrame, pairs: DataFrame, max_iter: int = 20,
 
     Spark shape: labels start as self; each round every node takes the min
     of its own and its neighbors' labels (one join + one groupBy per round,
-    both on the id key); converges in O(component diameter) rounds — near-dup
-    clusters are shallow, so this is a handful of bounded shuffles, not a
-    driver-side graph walk. localCheckpoint() per round truncates the plan
-    lineage (iterative joins otherwise stack analysis cost per round).
+    both on the id key), then POINTER-JUMPS (lbl := label(lbl) — a label is
+    always a node id in the same component, so the indirection is one more
+    keyed join) — label doubling makes ``max_iter`` rounds cover components
+    of diameter ~2^max_iter, so long near-dup chains in templated corpora
+    cannot silently split. localCheckpoint() per round truncates the plan
+    lineage (iterative joins otherwise stack analysis cost per round); the
+    convergence probe (a count action) runs every SECOND round — halving
+    driver actions — and if the loop exhausts ``max_iter`` unconverged a
+    warning is emitted instead of returning split labels silently.
     """
+    import warnings
+
     F_ = F
     edges = (pairs.select(F_.col("id_a").alias("src"), F_.col("id_b").alias("dst"))
              .unionByName(pairs.select(F_.col("id_b").alias("src"),
@@ -235,24 +254,41 @@ def dup_group_labels(nodes: DataFrame, pairs: DataFrame, max_iter: int = 20,
              .distinct())
     labels = nodes.select(F_.col(id_col).alias("node")).distinct() \
                   .withColumn("lbl", F_.col("node"))
-    for _ in range(max_iter):
+    converged = False
+    for it in range(max_iter):
         neigh = (edges.join(labels, edges.src == labels.node)
                  .select(F_.col("dst").alias("node"), "lbl"))
-        new_labels = (labels.unionByName(neigh)
-                      .groupBy("node").agg(F_.min("lbl").alias("lbl"))
+        propagated = (labels.unionByName(neigh)
+                      .groupBy("node").agg(F_.min("lbl").alias("lbl")))
+        # pointer jump: replace each label by that label-node's own label
+        # (monotone non-increasing within the component, so still exact)
+        parent = propagated.select(F_.col("node").alias("lbl"),
+                                   F_.col("lbl").alias("_plbl"))
+        new_labels = (propagated.join(parent, "lbl", "left")
+                      .select("node",
+                              F_.coalesce("_plbl", F_.col("lbl")).alias("lbl"))
                       .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F_.col("n.lbl") != F_.col("o.lbl")).count())
-        labels = new_labels
-        if changed == 0:
-            break
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "node")
+                       .filter(F_.col("n.lbl") != F_.col("o.lbl")).count())
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        else:
+            labels = new_labels
+    if not converged:
+        warnings.warn(
+            f"dup_group_labels did not converge in {max_iter} rounds "
+            f"(component diameter > ~2^{max_iter}); labels may be split — "
+            "raise max_iter", RuntimeWarning)
     return labels.select(F_.col("node").alias(id_col),
                          F_.col("lbl").alias("group_id"))
 
 
 def dropped_bucket_stats(embeddings: DataFrame, dim: int, n_bits: int = 64,
-                         n_bands: int = 4, max_bucket: int = 4096,
+                         n_bands: int = 8, max_bucket: int = 4096,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
     """Audit twin of :func:`embedding_near_dups`'s bucket cap: one row per
@@ -304,12 +340,105 @@ def minhash_signatures_portable(docs: DataFrame, n: int = 5, k: int = 16,
     against an ANSI-SQL oracle, unlike the xxhash64 variant."""
     assert k <= len(_MINHASH_AB)
     grams = char_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
-    poly = _poly_hash_sql("ngram", n)
+    # hoist the shared polynomial hash into ONE column: inlining it into
+    # each of the k min-aggregates recomputes the n-term Horner chain k
+    # times per shingle (the SQL oracle inlines it — same VALUES, but
+    # DuckDB CSEs it; Spark only reliably CSEs a projected column)
+    grams = grams.withColumn("_ph", F.expr(_poly_hash_sql("ngram", n)))
     aggs = [
-        F.expr(f"min(({a} * {poly} + {b}) % {_MINHASH_P})").alias(f"h{j}")
+        F.expr(f"min(({a} * _ph + {b}) % {_MINHASH_P})").alias(f"h{j}")
         for j, (a, b) in enumerate(_MINHASH_AB[:k])
     ]
     return grams.groupBy(id_col).agg(*aggs)
+
+
+_BAND_B = 1_000_003      # band-fold multiplier
+_BAND_P = 999_999_937    # band-fold modulus (prime, < 2^30)
+
+
+def _band_fold_sql(cols: list[str]) -> str:
+    """Fold r signature columns into one band-bucket key with stepwise
+    modular arithmetic (every intermediate < ~1e15, exact in int64 in BOTH
+    Spark and DuckDB — the portability requirement)."""
+    acc = f"({cols[0]} % {_BAND_P})"
+    for c in cols[1:]:
+        acc = f"((({acc}) * {_BAND_B} + {c}) % {_BAND_P})"
+    return acc
+
+
+def minhash_lsh_pairs_portable(docs: DataFrame, n: int = 5, k: int = 16,
+                               bands: int = 4, threshold: float = 0.35,
+                               text_col: str = "text", id_col: str = "doc_id",
+                               max_bucket: int | None = 65536) -> DataFrame:
+    """MinHash LSH candidate pairs with SQL-portable arithmetic end to end
+    (permutations AND band hashing), so the ENTIRE banded-join plan —
+    signature agg, band fold, per-band self-join, dedup, similarity filter —
+    is value-checkable against a DuckDB oracle. Same plan shape as the
+    faster xxhash64 :func:`minhash_lsh_pairs`; est_jaccard values are exact
+    multiples of 1/k (binary-exact doubles), so cross-engine rounding is
+    stable."""
+    assert k % bands == 0
+    r = k // bands
+    hs = [f"h{j}" for j in range(k)]
+    sig = minhash_signatures_portable(docs, n=n, k=k, text_col=text_col,
+                                      id_col=id_col).cache()
+    band_structs = [
+        F.struct(F.lit(bi).alias("band"),
+                 F.expr(_band_fold_sql(hs[bi * r:(bi + 1) * r])).alias("bh"))
+        for bi in range(bands)
+    ]
+    band_rows = sig.select(
+        id_col, *hs, F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, *hs, "bb.band", "bb.bh")
+    band_rows = _cap_band_buckets(band_rows, max_bucket)
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                *[F.col(f"a.{h}").alias(f"a_{h}") for h in hs],
+                *[F.col(f"b.{h}").alias(f"b_{h}") for h in hs])
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = sum(
+        F.when(F.col(f"a_{h}") == F.col(f"b_{h}"), 1).otherwise(0) for h in hs
+    )
+    return (cand.withColumn("est_jaccard", F.round(matches / F.lit(k), 6))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+def minhash_pairs_portable_oracle_sql(n: int = 5, k: int = 16, bands: int = 4,
+                                      threshold: float = 0.35,
+                                      max_doc: int = 300) -> str:
+    """DuckDB twin of :func:`minhash_lsh_pairs_portable` (no bucket cap —
+    the bounded oracle input never hits it, and the Spark side drops
+    nothing below the cap)."""
+    r = k // bands
+    hs = [f"h{j}" for j in range(k)]
+    sigs = minhash_portable_oracle_sql(n=n, k=k, max_doc=max_doc)
+    band_selects = "\n          UNION ALL ".join(
+        f"SELECT doc_id, {', '.join(hs)}, {bi} AS band, "
+        f"{_band_fold_sql(hs[bi * r:(bi + 1) * r])} AS bh FROM sigs"
+        for bi in range(bands)
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN a.{h} = b.{h} THEN 1 ELSE 0 END)" for h in hs)
+    return f"""
+        WITH sigs AS ({sigs}),
+        band_rows AS (
+          {band_selects}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(({match_sum}) / {k}.0, 6) AS est_jaccard
+          FROM band_rows a JOIN band_rows b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, est_jaccard FROM cand
+        WHERE est_jaccard >= {threshold}
+    """
 
 
 def minhash_portable_oracle_sql(n: int = 5, k: int = 16, max_doc: int = 300) -> str:
@@ -365,9 +494,10 @@ def simhash_portable(docs: DataFrame, n: int = 4, bits: int = 32,
     :func:`simhash` is faster but not reproducible outside Spark)."""
     assert bits <= len(_SIMHASH_AB)
     grams = char_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
-    poly = _poly_hash_sql("ngram", n)
+    # shared poly hash hoisted once (see minhash_signatures_portable)
+    grams = grams.withColumn("_ph", F.expr(_poly_hash_sql("ngram", n)))
     aggs = [
-        F.expr(_simhash_bit_sum_sql(a, b, poly)).alias(f"b{j}")
+        F.expr(_simhash_bit_sum_sql(a, b, "_ph")).alias(f"b{j}")
         for j, (a, b) in enumerate(_SIMHASH_AB[:bits])
     ]
     sums = grams.groupBy(id_col).agg(*aggs)

@@ -186,19 +186,44 @@ def test_multimodal_resize_and_frames(spark):
 
 
 def test_multimodal_plumbing(spark):
+    from hastl_spark.operators.multimodal import HAVE_REAL_DECODERS
+
     media = synthetic_media(spark, 32)
-    feats = extract_features(media, dim=8).toPandas()
+    feats = extract_features(media, dim=8, use_real=False).toPandas()
     assert len(feats) == 32
     assert set(feats.kind) == {"image", "audio", "video"}
     assert all(len(f) == 8 for f in feats.feat)
     assert (feats.n_bytes > 0).all()
     assert (feats.thumb_w <= 64).all()
     # determinism
-    again = extract_features(media, dim=8).toPandas().sort_values("media_id")
+    again = extract_features(media, dim=8, use_real=False).toPandas().sort_values("media_id")
     f0 = feats.sort_values("media_id")
     assert all(np.array_equal(a, b) for a, b in zip(f0.feat.values, again.feat.values))
-    with pytest.raises(NotImplementedError):
-        extract_features(media, require_real=True)
+    if not HAVE_REAL_DECODERS:
+        with pytest.raises(NotImplementedError):
+            extract_features(media, require_real=True)
+
+
+def test_multimodal_real_decoder_path(spark):
+    """Exercised only where PIL exists (probed seam): a real PNG payload
+    decodes through PIL; the schema contract is unchanged."""
+    from hastl_spark.operators.multimodal import HAVE_REAL_DECODERS
+
+    if not HAVE_REAL_DECODERS:
+        pytest.skip("PIL not installed; real-decoder path unavailable")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (16, 16), color=128).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [("m1", "image", bytearray(buf.getvalue()), 16, 16, 0)],
+        "media_id string, kind string, payload binary, width int, "
+        "height int, duration_ms int")
+    out = extract_features(media, dim=8, require_real=True).toPandas()
+    assert len(out) == 1 and len(out.feat[0]) == 8
+    assert all(abs(v - 128.0) < 1e-3 for v in out.feat[0])
 
 
 def test_embedding_near_dups_lsh_recalls_planted_pair(spark, embs):
@@ -217,6 +242,34 @@ def test_embedding_near_dups_lsh_recalls_planted_pair(spark, embs):
     # exact path agrees on the planted pair
     exact = embedding_near_dups(d2, threshold=0.95, use_lsh=False).collect()
     assert any(r.id_a == 0 and r.id_b == 900000 for r in exact)
+
+
+def test_embedding_near_dups_recall_at_threshold(spark):
+    """Planted pairs AT the 0.95 threshold (not cosine~1.0, which any band
+    config recalls): with the default 8x8-bit bands, sign-LSH theory gives
+    per-pair recall ~0.988 at cosine 0.95; assert a 0.85 floor over 40
+    planted pairs. (The old 4x16-bit default recalled only ~0.55 here.)"""
+    import numpy as np
+
+    from hastl_spark.operators.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(123)
+    dim, n_pairs, target = 64, 40, 0.95
+    rows = []
+    for i in range(n_pairs):
+        v = rng.normal(0, 1, dim)
+        v /= np.linalg.norm(v)
+        u = rng.normal(0, 1, dim)
+        u -= (u @ v) * v
+        u /= np.linalg.norm(u)
+        w = target * v + np.sqrt(1 - target ** 2) * u  # exact cosine 0.95
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1000, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_near_dups(df, threshold=0.94, dim=dim, use_lsh=True).collect()
+    found = {(r.id_a, r.id_b) for r in got}
+    recalled = sum((i, i + 1000) in found for i in range(n_pairs))
+    assert recalled >= 0.85 * n_pairs, f"recall {recalled}/{n_pairs}"
 
 
 def test_lsh_band_buckets_sublinear_on_large_corpus(spark):

@@ -15,7 +15,8 @@ from pyspark.sql import DataFrame
 from .gorilla import chunk_stats, encode
 
 CHUNK_SCHEMA = (
-    "source string, chunk_start timestamp, n_points long, bytes long, "
+    "source string, chunk_start timestamp, chunk_end timestamp, "
+    "n_points long, bytes long, "
     "crc32 long, v_min double, v_max double, v_sum double, blob binary"
 )
 
@@ -38,6 +39,9 @@ def gorilla_chunks(tier_df: DataFrame, value_col: str,
             rows.append({
                 "source": source,
                 "chunk_start": pd.Timestamp(t[0], unit="s"),
+                # chunk_end (max encoded ts) makes retention chunk-granular:
+                # a chunk is droppable iff every point in it aged out
+                "chunk_end": pd.Timestamp(t[-1], unit="s"),
                 "n_points": st["n_points"],
                 "bytes": st["bytes"],
                 "crc32": st["crc32"],
@@ -48,12 +52,15 @@ def gorilla_chunks(tier_df: DataFrame, value_col: str,
             })
         return pd.DataFrame(rows)
 
-    # pin grouped-map parallelism (see gapfill.py: AQE would coalesce the
-    # small tier table into ~1 task otherwise)
+    # pin grouped-map parallelism (see gapfill.py _grouped_map_partitions:
+    # AQE would coalesce the small tier table into ~1 task, and a partition
+    # count near the core count straggles on key-hash collisions)
     from pyspark.sql import functions as F
 
-    n_parts = tier_df.sparkSession.sparkContext.defaultParallelism * 2
-    tier_df = tier_df.repartition(n_parts, F.col("source"))
+    from .gapfill import _grouped_map_partitions
+
+    tier_df = tier_df.repartition(_grouped_map_partitions(tier_df),
+                                  F.col("source"))
     return tier_df.groupBy("source").applyInPandas(fn, CHUNK_SCHEMA)
 
 

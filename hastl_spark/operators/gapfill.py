@@ -45,6 +45,39 @@ GAPFILL_SCHEMA = (
 )
 
 
+def default_halo_buckets(n_p: int = 52, **params) -> int:
+    """Halo width (in buckets) covering the full influence radius of the
+    given STL parameterization — what a chunked or incremental
+    recomputation must include around any touched range.
+
+    One inner pass moves information by up to a ONE-SIDED seasonal window
+    (q_s cycle points = q_s*n_p buckets at a series boundary, where the
+    loess window is entirely to one side) plus the low-pass chain
+    (2x ma(n_p) + ma(3) + loess q_l) plus the trend loess (q_t); and the
+    n_inner (x n_outer) passes COMPOUND the radius because each pass's
+    seasonal input depends on the previous pass's trend. The round-2
+    single-window halo (max(q_s*n_p, q_t, q_l)) left ~3e-5 errors within
+    ~q_s*n_p/2 of series edges — measured bit-exact only once the halo
+    covers the compounded radius (tests/test_gapfill_chunked.py)."""
+    p0 = canonicalize_stl_params(10 ** 9, n_p, **params)
+    passes = max(1, p0.n_inner) * max(1, p0.n_outer)
+    per_pass = p0.q_s * n_p + p0.q_t + p0.q_l + 2 * n_p + 3
+    return passes * per_pass
+
+
+def touched_chunk_ids(pos_ranges, chunk_buckets: int, halo_buckets: int) -> list[int]:
+    """Chunk ids whose halo-extended window [k*C - H, (k+1)*C + H)
+    intersects any of the given [lo, hi] position ranges — the set an
+    incremental run must recompute when those positions changed."""
+    C, H = int(chunk_buckets), int(halo_buckets)
+    out: set[int] = set()
+    for lo, hi in pos_ranges:
+        k_lo = (int(lo) - H) // C
+        k_hi = (int(hi) + H) // C
+        out.update(range(k_lo, k_hi + 1))
+    return sorted(out)
+
+
 def stl_gapfill(
     rollup: DataFrame,
     value_col: str = "sum_n_tok",
@@ -60,6 +93,7 @@ def stl_gapfill(
     key_col: str = "source",
     chunk_buckets: int | None = None,
     halo_buckets: int | None = None,
+    only_chunks: list[int] | None = None,
     **extra_params,
 ) -> DataFrame:
     """rollup(source, bucket, cnt, value_col) -> densified + decomposed series.
@@ -75,7 +109,11 @@ def stl_gapfill(
 
     if chunk_buckets is not None:
         return _stl_gapfill_chunked(rollup, value_col, bucket_seconds, n_p,
-                                    params, key_col, chunk_buckets, halo_buckets)
+                                    params, key_col, chunk_buckets,
+                                    halo_buckets, only_chunks)
+    if only_chunks is not None:
+        raise ValueError("only_chunks requires chunk_buckets (incremental "
+                         "recomputation is defined on the chunked grid)")
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         source = key[0]
@@ -109,27 +147,48 @@ def stl_gapfill(
     # Pin the grouped-map parallelism: the rolled-up input is small in bytes,
     # so AQE's partition coalescing would funnel every group into one or two
     # tasks and serialize the STL kernels. An explicit hash repartition by
-    # the group key keeps one task per key-bucket (the groupBy reuses this
+    # the group key keeps tasks per key-bucket (the groupBy reuses this
     # exchange — no extra shuffle) and scales with the session's cores.
     import pyspark.sql.functions as F
 
-    n_parts = rollup.sparkSession.sparkContext.defaultParallelism * 2
-    rollup = rollup.repartition(n_parts, F.col(key_col))
+    rollup = rollup.repartition(_grouped_map_partitions(rollup), F.col(key_col))
     return rollup.groupBy(key_col).applyInPandas(fn, schema)
+
+
+def _grouped_map_partitions(df: DataFrame) -> int:
+    """Partition count for grouped-map stages: cores x 2 with a FLOOR of 256.
+    With few distinct keys (e.g. 64 sources) and partitions ~ cores, hash
+    collisions put 3-4x more keys in some partitions than others and the
+    stage wall is that straggler — measured as THE scaling-efficiency killer
+    (gap-fill 0.55, chunk encode 0.34 at 2->8 cores). A floor far above the
+    key count dilutes collisions to <=1-2 keys per partition, so the stage
+    becomes ~one task per key and load-balances at any core count; the
+    ~256-task scheduling overhead is milliseconds. With many keys the
+    cores-based term dominates and the law of large numbers balances."""
+    return max(df.sparkSession.sparkContext.defaultParallelism * 2, 256)
 
 
 def _stl_gapfill_chunked(rollup: DataFrame, value_col: str, bucket_seconds: int,
                          n_p: int, params: dict, key_col: str,
-                         chunk_buckets: int, halo_buckets: int | None) -> DataFrame:
-    """Grid-chunked STL gap-fill: split each key's bucket grid into
+                         chunk_buckets: int, halo_buckets: int | None,
+                         only_chunks: list[int] | None = None) -> DataFrame:
+    """Grid-chunked STL gap-fill: split the bucket grid into
     ``chunk_buckets``-sized chunks, extend each by a halo wide enough to
     cover the widest loess window, run one STL task per (key, chunk), emit
     only chunk interiors (an exact partition of the global grid — no
     overlap, no stitch seams).
 
-    Rows are assigned to their own chunk plus any neighbor whose halo they
-    fall into (a relational explode — no driver loop), so the grouped-map
-    task size is bounded by chunk + 2*halo regardless of series length.
+    Chunk ids are anchored at the EPOCH (``k = unix(bucket)//bucket_seconds
+    // C``), not at each key's first observation: a backfill that extends a
+    series earlier must not shift every chunk boundary (that would make
+    incremental recomputation rewrite the whole history), and absolute ids
+    let an incremental run name exactly the chunks a touched time range
+    intersects.
+
+    Rows are assigned to their own chunk plus the ±ceil(H/C) neighbors whose
+    halo can reach them (a relational explode — no driver loop, correct for
+    ANY halo/chunk ratio), so the grouped-map task size is bounded by
+    chunk + 2*halo regardless of series length.
 
     Caveat: a chunk whose [start - halo, end + halo) range contains no
     observations at all never materializes, so gaps longer than
@@ -142,41 +201,47 @@ def _stl_gapfill_chunked(rollup: DataFrame, value_col: str, bucket_seconds: int,
     from ..kernel import canonicalize_stl_params
 
     C = int(chunk_buckets)
-    p0 = canonicalize_stl_params(10 ** 9, n_p, **params)
     if halo_buckets is None:
         # widest influence: seasonal window spans q_s points of a cycle
         # subseries = q_s * n_p buckets; trend/lowpass span q_t / q_l
-        halo_buckets = max(p0.q_s * n_p, p0.q_t, p0.q_l, 2 * n_p)
+        halo_buckets = default_halo_buckets(n_p, **params)
     H = int(halo_buckets)
     if C < 2 * n_p:
         raise ValueError(f"chunk_buckets={C} must be >= 2*n_p={2 * n_p}")
+    D = -(-H // C)  # neighbors per side a halo can span (ceil(H/C))
 
     bounds = rollup.groupBy(key_col).agg(F.min("bucket").alias("_g0"),
                                          F.max("bucket").alias("_g1"))
     df = rollup.join(F.broadcast(bounds), key_col)
-    pos = ((F.unix_timestamp("bucket") - F.unix_timestamp("_g0"))
-           / bucket_seconds).cast("long")
-    npos = ((F.unix_timestamp("_g1") - F.unix_timestamp("_g0"))
-            / bucket_seconds).cast("long")
+    pos = (F.unix_timestamp("bucket") / bucket_seconds).cast("long")
+    p0c = (F.unix_timestamp("_g0") / bucket_seconds).cast("long")
+    p1c = (F.unix_timestamp("_g1") / bucket_seconds).cast("long")
     k0 = (pos / C).cast("long")
-    members = F.array(
-        k0,
-        F.when((pos < k0 * C + H) & (k0 > 0), k0 - 1),
-        F.when((pos >= (k0 + 1) * C - H) & ((k0 + 1) * C <= npos), k0 + 1),
+    members = F.filter(
+        F.transform(F.sequence(F.lit(-D), F.lit(D)), lambda d: k0 + d),
+        lambda m: (m >= (p0c / C).cast("long")) & (m <= (p1c / C).cast("long"))
+        & (pos >= m * C - H) & (pos <= (m + 1) * C - 1 + H),
     )
     df = df.select(
         key_col, "bucket", "cnt", value_col,
-        F.col("_g0"), npos.alias("_npos"),
-        F.explode(F.filter(members, lambda m: m.isNotNull())).alias("_chunk"),
+        p0c.alias("_p0"), p1c.alias("_p1"),
+        F.explode(members).alias("_chunk"),
     )
+    if only_chunks is not None:
+        # incremental mode: recompute ONLY the named (epoch-anchored) chunks.
+        # Bounds above were computed on the FULL series — an incremental run
+        # must see true per-key edges, or grid clipping at the filter
+        # boundary would shift NaN prefixes (the stl.fut low-pass hazard
+        # documented in the module docstring) and silently change values.
+        df = df.filter(F.col("_chunk").isin([int(c) for c in only_chunks]))
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         source, k = key[0], int(key[1])
-        g0 = pd.Timestamp(pdf["_g0"].iloc[0])
-        nmax = int(pdf["_npos"].iloc[0])
-        lo = max(k * C - H, 0)
-        hi = min((k + 1) * C - 1 + H, nmax)
-        grid = g0 + pd.to_timedelta(
+        kp0 = int(pdf["_p0"].iloc[0])
+        kp1 = int(pdf["_p1"].iloc[0])
+        lo = max(k * C - H, kp0)
+        hi = min((k + 1) * C - 1 + H, kp1)
+        grid = pd.to_datetime(
             np.arange(lo, hi + 1) * bucket_seconds, unit="s")
         idx = pd.DatetimeIndex(pdf["bucket"])
         s = pd.Series(pdf[value_col].astype("float64").values, index=idx)
@@ -185,8 +250,8 @@ def _stl_gapfill_chunked(rollup: DataFrame, value_col: str, bucket_seconds: int,
                .reindex(grid).fillna(0).astype("int64"))
         y = s.values
         n = len(y)
-        i_lo = k * C - lo                       # first interior offset
-        i_hi = min((k + 1) * C - 1, nmax) - lo  # last interior offset
+        i_lo = max(k * C, kp0) - lo             # first interior offset
+        i_hi = min((k + 1) * C - 1, kp1) - lo   # last interior offset
         interior = slice(i_lo, i_hi + 1)
         if i_hi < i_lo:
             return pd.DataFrame(columns=["__k", "bucket", "y", "seasonal",
@@ -210,6 +275,6 @@ def _stl_gapfill_chunked(rollup: DataFrame, value_col: str, bucket_seconds: int,
         })
 
     schema = GAPFILL_SCHEMA.replace("source string", f"{key_col} string")
-    n_parts = rollup.sparkSession.sparkContext.defaultParallelism * 2
-    df = df.repartition(n_parts, F.col(key_col), F.col("_chunk"))
+    df = df.repartition(_grouped_map_partitions(rollup),
+                        F.col(key_col), F.col("_chunk"))
     return df.groupBy(key_col, "_chunk").applyInPandas(fn, schema)

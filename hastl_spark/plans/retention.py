@@ -112,6 +112,80 @@ def _apply_retention_day_pruned(spark: SparkSession, table: KeyedTable,
     return rec
 
 
+def apply_chunk_retention(spark: SparkSession, table: KeyedTable,
+                          tier_policy: dict, now=None) -> dict:
+    """Retention for the unified Gorilla chunk table (partition value
+    ``source~tier~yyyy-MM``, per-partition watermark = max ``chunk_end``):
+
+    * partitions whose watermark is older than their tier's cutoff hold
+      ONLY fully-aged chunks -> dropped metadata-only (no file IO);
+    * boundary partitions (start month at/before the cutoff but watermark
+      newer) are rewritten keeping chunks with ``chunk_end >= cutoff`` —
+      chunk-granularity retention: points inside a kept chunk that are
+      individually older than the cutoff remain until their whole chunk
+      ages out (the standard trade for compressed chunk stores; cf.
+      TimescaleDB drop_chunks semantics).
+
+    ``tier_policy`` maps the chunk table's ``tier`` column values (e.g.
+    "1m", "gapfill_1m") to keep_seconds (None = keep forever).
+    """
+    import datetime
+
+    from hastl_spark.sources.tables import PART_SEP
+
+    man = table._load()
+    wms = man["watermarks"]
+    if not wms:
+        return {"partitions": [], "op": "chunk_retention", "rows_in": 0}
+    as_dt = lambda v: datetime.datetime.fromisoformat(str(v))
+    if now is None:
+        now = max(as_dt(v) for v in wms.values())
+    cutoffs = {t: (now - datetime.timedelta(seconds=k) if k is not None else None)
+               for t, k in tier_policy.items()}
+
+    drop, boundary = [], []
+    for p in table.partition_values():
+        _, tier, month = p.split(PART_SEP)
+        cut = cutoffs.get(tier)
+        if cut is None:
+            continue
+        if as_dt(wms[p]) < cut:
+            drop.append(p)
+        elif month <= cut.strftime("%Y-%m"):
+            boundary.append(p)
+
+    rows_kept = 0
+    rewritten = []
+    if boundary:
+        cut_expr = None
+        for tier, cut in cutoffs.items():
+            if cut is None:
+                continue
+            cond = (F.col("tier") == tier) & (F.col("chunk_end") >= F.lit(cut))
+            cut_expr = cond if cut_expr is None else (cut_expr | cond)
+        # tiers without a policy keep everything
+        no_policy = ~F.col("tier").isin([t for t, c in cutoffs.items()
+                                         if c is not None])
+        kept = table.read_partitions(spark, boundary).filter(cut_expr | no_policy)
+        mrec = table.merge_upsert(spark, kept, watermark_col="chunk_end",
+                                  replace_partitions=True)
+        rewritten = mrec["partitions"]
+        rows_kept = mrec["rows_in"]
+        drop += [p for p in boundary if p not in set(rewritten)]
+
+    rec = table.drop_partitions(drop) if drop else {
+        "snapshot": table.snapshot(), "partitions": []}
+    rec.update({
+        "op": "chunk_retention",
+        "retention_cutoffs": {t: str(c) for t, c in cutoffs.items()},
+        "dropped_partitions": len(drop),
+        "rewritten_partitions": rewritten,
+        "rows_in": rows_kept,
+        "untouched_partitions": len(table.partition_values()) - len(rewritten),
+    })
+    return rec
+
+
 def run_retention(spark: SparkSession, out_dir: str,
                   policy: dict | None = None) -> dict:
     policy = dict(DEFAULT_POLICY if policy is None else policy)
@@ -123,4 +197,13 @@ def run_retention(spark: SparkSession, out_dir: str,
         table = KeyedTable(path, ["source", "bucket"])
         if table.exists():
             results[tier] = apply_retention(spark, table, keep)
+    chunk_table = KeyedTable(os.path.join(out_dir, "chunks"),
+                             ["source", "tier", "chunk_start"])
+    if chunk_table.exists():
+        # chunk tiers inherit their source tier's horizon
+        tier_policy = {"1m": policy.get("tier_1m"),
+                       "1h": policy.get("tier_1h"),
+                       "1d": policy.get("tier_1d"),
+                       "gapfill_1m": policy.get("gapfill_1m")}
+        results["chunks"] = apply_chunk_retention(spark, chunk_table, tier_policy)
     return results

@@ -27,7 +27,8 @@ from hastl_spark.operators.gapfill import stl_gapfill
 from hastl_spark.operators.rollup import rollup_1m, rollup_tier, token_invariant_violations, with_event_time
 from hastl_spark.session import get_spark
 from hastl_spark.sources.sequences import SEQS_PER_BUCKET, generate_scale
-from hastl_spark.sources.tables import DAY_SPEC, MONTH_SPEC, PART_SEP, KeyedTable
+from hastl_spark.sources.tables import (CHUNK_SPEC, DAY_SPEC, MONTH_SPEC,
+                                        PART_SEP, KeyedTable)
 
 
 def run_pipeline(
@@ -38,10 +39,28 @@ def run_pipeline(
     stl_kwargs: dict | None = None,
     do_gorilla: bool = True,
     check_invariant: bool = True,
+    overlap: bool = True,
+    incremental_gapfill: bool = False,
 ) -> dict:
+    """Full pipeline run. ``overlap=True`` runs the two independent
+    post-1m branches — STL gap-fill and the 1h/1d tier cascade — on
+    concurrent driver threads (Spark schedules their jobs FAIRly across the
+    executor): the cascade's merge latency hides under the STL compute,
+    removing a serial driver segment that Amdahl-caps scaling efficiency.
+
+    ``incremental_gapfill=True`` (requires ``stl_kwargs['chunk_buckets']``)
+    recomputes only the gap-fill chunks whose halo-extended window
+    intersects the days this run's 1m merge touched — an incremental run's
+    STL cost scales with the touched range, not the table's full history.
+    The first run on an empty gapfill table computes everything."""
     os.makedirs(out_dir, exist_ok=True)
     metrics: dict = {}
+    stage_walls: dict = {}
     t_start = time.time()
+
+    def _mark(name, t0):
+        stage_walls[name] = round(time.time() - t0, 3)
+        return time.time()
 
     seq = with_event_time(sequences)
 
@@ -55,6 +74,7 @@ def run_pipeline(
     # costs 2-5x the pipeline at scale (array hashing is outside codegen),
     # so full-fidelity token equality is asserted in the pytest suite at
     # small scale instead (tests/test_pipeline_spark).
+    t0 = time.time()
     r1m_inv = rollup_1m(seq, n_salts=n_salts, with_invariant=check_invariant)
     if check_invariant:
         from pyspark import StorageLevel
@@ -66,6 +86,7 @@ def run_pipeline(
         metrics["token_invariant_violations"] = int(row["bad"] or 0)
         metrics["token_checksum"] = str(row["chk"])
         r1m = r1m_inv.select("source", "bucket", "cnt", "sum_n_tok")
+        t0 = _mark("rollup_1m_scan", t0)
     else:
         r1m = r1m_inv
     t_1m = KeyedTable(os.path.join(out_dir, "tier_1m"), ["source", "bucket"],
@@ -74,34 +95,98 @@ def run_pipeline(
     if check_invariant:
         r1m_inv.unpersist()
     metrics["tier_1m"] = rec
+    t0 = _mark("merge_1m", t0)
 
-    # STL gap-fill on the 1m series. The maintained 1m table is consumed by
-    # THREE downstream stages (gap-fill, 1h re-rollup, chunk encode) — cache
-    # the read so the day-partitioned file set (hundreds of small parquet
-    # files at multi-day spans) is listed and decoded once, not three times.
+    # The maintained 1m table is consumed by THREE downstream stages
+    # (gap-fill, 1h re-rollup, chunk encode) — cache the read and
+    # materialize it ONCE up front, so the concurrent branches below hit a
+    # filled cache instead of racing to compute it.
     cur_1m = t_1m.read(spark).persist()
-    gap = stl_gapfill(cur_1m, **(stl_kwargs or {}))
-    t_gap = KeyedTable(os.path.join(out_dir, "gapfill_1m"), ["source", "bucket"])
-    rec = t_gap.merge_upsert(spark, gap, watermark_col="bucket")
-    metrics["gapfill_1m"] = rec
-
-    # tier cascade (re-aggregates the maintained 1m table, not the raw scan).
-    # Incremental: only the DAYS this run's 1m merge touched need re-rollup —
-    # the touched-day set comes from the merge's own lineage record (day
-    # boundaries align with 1h and 1d buckets, so day-filtered re-rollup
-    # yields complete tier buckets); MERGE keeps every other day's rows.
+    cur_1m.count()
     days = sorted({p.split(PART_SEP)[1] for p in metrics["tier_1m"]["partitions"]})
-    upd_1m = cur_1m.filter(F.to_date("bucket").cast("string").isin(days))
+    t_gap = KeyedTable(os.path.join(out_dir, "gapfill_1m"), ["source", "bucket"],
+                       part_spec=DAY_SPEC)
+
+    def branch_gapfill():
+        # STL gap-fill on the 1m series. Incremental mode recomputes only
+        # the epoch-anchored chunks whose halo window intersects this run's
+        # touched days; the day-partitioned MERGE then rewrites only those
+        # days' files. Exactness caveat: chunked STL matches the global fit
+        # exactly on dense grids only (see operators/gapfill.py docstring).
+        kw = dict(stl_kwargs or {})
+        if incremental_gapfill and t_gap.exists():
+            from hastl_spark.operators.gapfill import (default_halo_buckets,
+                                                       touched_chunk_ids)
+            if not kw.get("chunk_buckets"):
+                raise ValueError("incremental_gapfill requires "
+                                 "stl_kwargs['chunk_buckets']")
+            import datetime
+
+            bsec = kw.get("bucket_seconds", 60)
+            halo = kw.get("halo_buckets") or default_halo_buckets(
+                kw.get("n_p", 52),
+                **{k: v for k, v in kw.items()
+                   if k in ("q_s", "d_s", "jump_s", "jump_t", "jump_l",
+                            "n_inner", "n_outer", "q_t", "q_l", "d_t", "d_l")})
+            ranges = []
+            for d in days:
+                lo = datetime.datetime.fromisoformat(d + "T00:00:00+00:00")
+                lo_pos = int(lo.timestamp()) // bsec
+                ranges.append((lo_pos, lo_pos + 86400 // bsec - 1))
+            kw["only_chunks"] = touched_chunk_ids(
+                ranges, kw["chunk_buckets"], halo)
+            metrics["gapfill_chunks_recomputed"] = len(kw["only_chunks"])
+        gap = stl_gapfill(cur_1m, **kw)
+        metrics["gapfill_1m"] = t_gap.merge_upsert(spark, gap,
+                                                   watermark_col="bucket")
+
+    # tier cascade (re-aggregates the maintained 1m table, not the raw
+    # scan). Incremental: only the DAYS this run's 1m merge touched need
+    # re-rollup — the touched-day set comes from the merge's own lineage
+    # record (day boundaries align with 1h and 1d buckets, so day-filtered
+    # re-rollup yields complete tier buckets); MERGE keeps other days' rows.
     # month granularity for 1h: a source-day of hourly data is 24 rows, so
     # day dirs would be pathological small files at any input scale
     t_1h = KeyedTable(os.path.join(out_dir, "tier_1h"), ["source", "bucket"],
                       part_spec=MONTH_SPEC)
-    r1h = rollup_tier(upd_1m, "1h")
-    metrics["tier_1h"] = t_1h.merge_upsert(spark, r1h, watermark_col="bucket")
     t_1d = KeyedTable(os.path.join(out_dir, "tier_1d"), ["source", "bucket"])
-    upd_1h = t_1h.read(spark).filter(F.to_date("bucket").cast("string").isin(days))
-    metrics["tier_1d"] = t_1d.merge_upsert(spark, rollup_tier(upd_1h, "1d"),
-                                           watermark_col="bucket")
+
+    def branch_cascade():
+        upd_1m = cur_1m.filter(F.to_date("bucket").cast("string").isin(days))
+        r1h = rollup_tier(upd_1m, "1h")
+        metrics["tier_1h"] = t_1h.merge_upsert(spark, r1h, watermark_col="bucket")
+        upd_1h = t_1h.read(spark).filter(
+            F.to_date("bucket").cast("string").isin(days))
+        metrics["tier_1d"] = t_1d.merge_upsert(spark, rollup_tier(upd_1h, "1d"),
+                                               watermark_col="bucket")
+
+    # gap-fill (STL pandas-UDF compute) and the 1h/1d cascade (two small
+    # merges) are independent given cur_1m: overlapping them hides the
+    # cascade's fixed merge latency under the STL work instead of adding it
+    # serially (measured as the dominant Amdahl term at small core counts).
+    if overlap:
+        import threading
+
+        errs: list[BaseException] = []
+
+        def _run(fn):
+            try:
+                fn()
+            except BaseException as e:  # surface thread failures to caller
+                errs.append(e)
+
+        th = threading.Thread(target=_run, args=(branch_cascade,), daemon=True)
+        th.start()
+        _run(branch_gapfill)
+        th.join()
+        if errs:
+            raise errs[0]
+        t0 = _mark("gapfill+cascade", t0)
+    else:
+        branch_gapfill()
+        t0 = _mark("gapfill", t0)
+        branch_cascade()
+        t0 = _mark("cascade", t0)
 
     if do_gorilla:
         # ONE unified chunk table keyed (source, tier, chunk_start): the four
@@ -119,13 +204,17 @@ def run_pipeline(
             chunks = chunks.unionByName(p)
         # chunk sets are REGENERATED from the full tier each run, and a
         # backfill can shift 65536-point chunk boundaries (new chunk_start
-        # keys overlapping stale rows) — so each (source, tier) partition is
-        # replaced wholesale, not key-merged
+        # keys overlapping stale rows) — so affected partitions are
+        # replaced wholesale, not key-merged. Month sub-partitioning (by
+        # chunk_start) + the chunk_end watermark make retention a
+        # metadata-only drop of fully-aged partitions (plans/retention.py).
         t_ch = KeyedTable(os.path.join(out_dir, "chunks"),
                           ["source", "tier", "chunk_start"],
-                          part_spec={"cols": ["source", "tier"]})
+                          part_spec=CHUNK_SPEC)
         metrics["chunks"] = t_ch.merge_upsert(spark, chunks,
+                                              watermark_col="chunk_end",
                                               replace_partitions=True)
+        t0 = _mark("chunks", t0)
 
     cur_1m.unpersist()
     wall = time.time() - t_start
@@ -135,6 +224,7 @@ def run_pipeline(
         "wall_s": round(wall, 3),
         "rolled_up_points": pts,
         "points_per_sec": round(pts / wall, 1),
+        "stage_walls": stage_walls,
     }
     with open(os.path.join(out_dir, "_run_manifest.json"), "w") as f:
         json.dump(metrics, f, indent=1, default=str)
@@ -153,6 +243,13 @@ def main(argv=None):
     ap.add_argument("--since-bucket", type=int, default=None,
                     help="incremental: only process bucket index >= N")
     ap.add_argument("--no-gorilla", action="store_true")
+    ap.add_argument("--no-overlap", action="store_true",
+                    help="disable concurrent gapfill/cascade branches")
+    ap.add_argument("--incremental-gapfill", action="store_true",
+                    help="recompute only gap-fill chunks touched by this "
+                         "run's days (requires --chunk-buckets)")
+    ap.add_argument("--chunk-buckets", type=int, default=None,
+                    help="chunked STL gap-fill chunk size in buckets")
     ap.add_argument("--repeat", type=int, default=1,
                     help="timed pipeline executions in this session (bench)")
     ap.add_argument("--warmup", type=int, default=0,
@@ -168,9 +265,14 @@ def main(argv=None):
         seq_no = F.split(F.col("doc_id"), "-").getItem(1).cast("long")
         seqs = seqs.filter((seq_no / SEQS_PER_BUCKET).cast("long") >= args.since_bucket)
 
+    stl_kwargs = ({"chunk_buckets": args.chunk_buckets}
+                  if args.chunk_buckets else None)
     if args.repeat == 1 and args.warmup == 0:
         metrics = run_pipeline(spark, seqs, args.out, n_salts=args.n_salts,
-                               do_gorilla=not args.no_gorilla)
+                               do_gorilla=not args.no_gorilla,
+                               stl_kwargs=stl_kwargs,
+                               overlap=not args.no_overlap,
+                               incremental_gapfill=args.incremental_gapfill)
         print(json.dumps(metrics["summary"]))
         return
 
@@ -179,17 +281,23 @@ def main(argv=None):
     import shutil
 
     walls = []
+    stage_walls = []
     pts = 0
     for i in range(args.warmup + args.repeat):
         out = f"{args.out}_r{i}"
         shutil.rmtree(out, ignore_errors=True)
         metrics = run_pipeline(spark, seqs, out, n_salts=args.n_salts,
-                               do_gorilla=not args.no_gorilla)
+                               do_gorilla=not args.no_gorilla,
+                               stl_kwargs=stl_kwargs,
+                               overlap=not args.no_overlap,
+                               incremental_gapfill=args.incremental_gapfill)
         shutil.rmtree(out, ignore_errors=True)
         if i >= args.warmup:
             walls.append(metrics["summary"]["wall_s"])
+            stage_walls.append(metrics["summary"]["stage_walls"])
             pts = metrics["summary"]["rolled_up_points"]
-    print(json.dumps({"walls": walls, "rolled_up_points": pts}))
+    print(json.dumps({"walls": walls, "rolled_up_points": pts,
+                      "stage_walls": stage_walls}))
 
 
 if __name__ == "__main__":

@@ -55,6 +55,10 @@ def get_spark(cpus: int | None = None, shuffle_partitions: int | None = None,
         # manifest, not by job-commit atomicity, so v2 is safe here.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # FAIR job scheduling: the pipeline overlaps independent stages
+        # (gap-fill vs tier cascade) from concurrent driver threads; FIFO
+        # would give the first job every slot and serialize the overlap
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
     for k, v in pin_threads.items():

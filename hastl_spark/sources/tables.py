@@ -46,6 +46,12 @@ PART_SEP = "~"
 # there are pathological small files at ANY input scale).
 DAY_SPEC = {"cols": ["source"], "day_of": "bucket"}
 MONTH_SPEC = {"cols": ["source"], "day_of": "bucket", "fmt": "yyyy-MM"}
+# Gorilla chunk tables: (source, tier) plus the chunk's start month — chunk
+# rows are coarse (<=65536 points each), so month granularity keeps file
+# counts sane while letting retention drop fully-aged months metadata-only
+# (droppability decided by the partition's chunk_end watermark, not the
+# start month — a chunk may span months).
+CHUNK_SPEC = {"cols": ["source", "tier"], "day_of": "chunk_start", "fmt": "yyyy-MM"}
 
 
 def apply_part_spec(df: DataFrame, spec: dict, out_col: str = "_part") -> DataFrame:
@@ -76,6 +82,7 @@ class KeyedTable:
         self.path = path
         self.key_cols = list(key_cols)
         self.part_spec = part_spec
+        self._ctor_part_spec = part_spec
         self.partition_col = "_part" if part_spec else partition_col
         os.makedirs(path, exist_ok=True)
 
@@ -95,6 +102,19 @@ class KeyedTable:
             self.partition_col = man["partition_col"]
         if man.get("part_spec"):
             self.part_spec = man["part_spec"]
+        # fail fast on a LAYOUT MISMATCH: a constructor that demands a
+        # composite part_spec must not silently merge into a table written
+        # under a different (or no) spec — mixed partition layouts in one
+        # manifest would corrupt day-extraction and retention pruning
+        if (self._ctor_part_spec is not None and man["partitions"]
+                and man.get("part_spec") != self._ctor_part_spec):
+            raise ValueError(
+                f"partition-layout mismatch at {self.path}: table was "
+                f"written with part_spec={man.get('part_spec')!r} "
+                f"(partition_col={man.get('partition_col')!r}) but this "
+                f"writer supplies part_spec={self._ctor_part_spec!r}; "
+                "migrate the table (read + rewrite) or construct the "
+                "KeyedTable with the recorded spec")
         return man
 
     def _with_part(self, df: DataFrame) -> DataFrame:

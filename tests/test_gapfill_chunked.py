@@ -43,7 +43,9 @@ def test_chunked_equals_unchunked_on_dense_grid(spark):
     assert (chunked["bucket"].values == base["bucket"].values).all()
     np.testing.assert_array_equal(chunked["y"].values, base["y"].values)
     for col in ("seasonal", "trend", "remainder", "gapfilled"):
-        # kernel computes through float32 boundaries -> 1-ulp noise allowed
+        # the compounded-radius halo covers the full influence of the
+        # n_inner passes incl. one-sided boundary windows; only f32
+        # accumulation noise (prefix-sum start offsets) remains
         np.testing.assert_allclose(chunked[col].values, base[col].values,
                                    atol=1e-6, rtol=0, err_msg=col)
 
@@ -101,3 +103,37 @@ def test_chunk_buckets_lower_bound(spark):
     with pytest.raises(ValueError):
         stl_gapfill(df, value_col="sum_n_tok", bucket_seconds=3600,
                     n_p=N_P, q_s=13, chunk_buckets=10).count()
+
+
+def test_chunked_exact_when_halo_exceeds_chunk(spark):
+    """halo > chunk_buckets (the round-2 bug class: the old ±1-neighbor
+    explode silently truncated halos wider than one chunk): with C=60 and
+    the compounded default halo (~858 buckets, ~15 chunks wide) the
+    generalized ±ceil(H/C) membership must still reproduce the unchunked
+    interior exactly on a dense grid."""
+    df = _series_df(spark, nan_frac=0.0)
+    base = _run(df)
+    chunked = _run(df, chunk_buckets=60)  # 60 >= 2*n_p=48; halo ~858 >> 60
+    assert len(chunked) == len(base) == N
+    assert (chunked["bucket"].values == base["bucket"].values).all()
+    for col in ("seasonal", "trend", "remainder", "gapfilled"):
+        np.testing.assert_allclose(chunked[col].values, base[col].values,
+                                   atol=1e-6, rtol=0, err_msg=col)
+
+
+def test_only_chunks_matches_full_chunked(spark):
+    """Incremental selection: running only a named chunk id yields rows
+    bit-identical to the same chunk's interior in the full chunked run
+    (same epoch-anchored task, same inputs)."""
+    df = _series_df(spark, nan_frac=0.05)
+    full = _run(df, chunk_buckets=500)
+    pos0 = int(pd.Timestamp("2026-01-01").timestamp()) // 3600
+    k = (pos0 + 1200) // 500  # a middle chunk
+    sub = _run(df, chunk_buckets=500, only_chunks=[k])
+    pos = full["bucket"].map(
+        lambda b: int(pd.Timestamp(b).timestamp()) // 3600 // 500)
+    exp = full[pos == k].reset_index(drop=True)
+    assert len(sub) == len(exp) > 0
+    for col in ("y", "seasonal", "trend", "remainder", "gapfilled"):
+        np.testing.assert_array_equal(sub[col].values, exp[col].values,
+                                      err_msg=col)

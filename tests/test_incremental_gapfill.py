@@ -1,0 +1,81 @@
+"""Incremental gap-fill: an incremental run recomputes ONLY the chunks
+whose halo window intersects the touched days, rewrites only those days'
+gapfill partitions, and its table state is bit-identical to a full chunked
+recompute (same epoch-anchored chunk tasks see the same inputs)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hastl_spark.operators.gapfill import (default_halo_buckets,
+                                           touched_chunk_ids)
+from hastl_spark.plans.rollup_job import run_pipeline
+from hastl_spark.sources.sequences import SEQS_PER_BUCKET, generate_sequences
+from hastl_spark.sources.tables import PART_SEP, KeyedTable
+
+N_DAYS = 4
+BUCKETS = N_DAYS * 1440
+STL_KW = {"chunk_buckets": 1440, "n_p": 52, "q_s": 7}
+
+
+def _seqs(spark):
+    return generate_sequences(spark, n_sources=2, n_buckets=BUCKETS,
+                              base_rate=4.0, tok_lo=4, tok_hi=16,
+                              with_tokens=True).cache()
+
+
+def _bucket_of(doc_id_col):
+    seq_no = F.split(doc_id_col, "-").getItem(1).cast("long")
+    return (seq_no / SEQS_PER_BUCKET).cast("long")
+
+
+def test_touched_chunk_ids():
+    assert touched_chunk_ids([(100, 199)], 100, 50) == [0, 1, 2]
+    assert touched_chunk_ids([(0, 9)], 100, 10) == [-1, 0]
+    assert touched_chunk_ids([(250, 260), (950, 960)], 100, 0) == [2, 9]
+
+
+@pytest.mark.slow
+def test_incremental_rewrites_only_touched_days(spark, tmp_path):
+    seqs = _seqs(spark)
+    first = seqs.filter(_bucket_of(F.col("doc_id")) < 3 * 1440)
+    last_day = seqs.filter(_bucket_of(F.col("doc_id")) >= 3 * 1440)
+
+    inc_dir = str(tmp_path / "inc")
+    m1 = run_pipeline(spark, first, inc_dir, do_gorilla=False,
+                      check_invariant=False, stl_kwargs=STL_KW,
+                      incremental_gapfill=True)
+    assert "gapfill_chunks_recomputed" not in m1  # first run = full compute
+    gap_snap1 = KeyedTable(f"{inc_dir}/gapfill_1m", ["source", "bucket"])._load()
+    parts_before = dict(gap_snap1["partitions"])
+
+    m2 = run_pipeline(spark, last_day, inc_dir, do_gorilla=False,
+                      check_invariant=False, stl_kwargs=STL_KW,
+                      incremental_gapfill=True)
+    # halo (q_s=7 -> 7*52=364 < 1440) reaches one neighbor chunk: the run
+    # must recompute the touched day's chunk + its reachable neighbor only
+    assert m2["gapfill_chunks_recomputed"] <= 3
+    touched_days = {p.split(PART_SEP)[1]
+                    for p in m2["gapfill_1m"]["partitions"]}
+    assert touched_days <= {"2026-01-03", "2026-01-04"}
+    # untouched day partitions kept their original data files
+    gap_snap2 = KeyedTable(f"{inc_dir}/gapfill_1m", ["source", "bucket"])._load()
+    for p, rel in parts_before.items():
+        if p.split(PART_SEP)[1] in ("2026-01-01", "2026-01-02"):
+            assert gap_snap2["partitions"][p] == rel, p
+
+    # table state == full chunked recompute, bit-exact
+    full_dir = str(tmp_path / "full")
+    run_pipeline(spark, seqs, full_dir, do_gorilla=False,
+                 check_invariant=False, stl_kwargs=STL_KW)
+    cols = ["source", "bucket", "y", "seasonal", "trend", "gapfilled", "cnt"]
+    inc_pdf = (KeyedTable(f"{inc_dir}/gapfill_1m", ["source", "bucket"])
+               .read(spark).select(cols).toPandas()
+               .sort_values(["source", "bucket"]).reset_index(drop=True))
+    full_pdf = (KeyedTable(f"{full_dir}/gapfill_1m", ["source", "bucket"])
+                .read(spark).select(cols).toPandas()
+                .sort_values(["source", "bucket"]).reset_index(drop=True))
+    assert len(inc_pdf) == len(full_pdf)
+    for c in cols[2:]:
+        np.testing.assert_array_equal(inc_pdf[c].values, full_pdf[c].values,
+                                      err_msg=c)

@@ -82,10 +82,19 @@ class STL:
         self.debug = debug
 
     def _thresholds(self):
-        # stl.py:178: c/multicore force jump_threshold_1 to 10^7
-        jt1 = (10000000 if self.backend in ("c", "multicore")
-               else self.jump_threshold_1)
-        return (jt1, self.jump_threshold_2, self.q_threshold_1, self.q_threshold_2)
+        """Threshold tuple as the reference DUMPS it (stl.py:189-204): the
+        constructor values verbatim. The c/multicore jump_threshold_1
+        override (stl.py:178) applies only where the kernel is invoked —
+        the reference's dump loop writes self.jump_threshold_1 un-overridden,
+        so the dump must too (byte parity with reference dump.in)."""
+        return (self.jump_threshold_1, self.jump_threshold_2,
+                self.q_threshold_1, self.q_threshold_2)
+
+    def _kernel_jump_threshold_1(self):
+        # stl.py:178: c/multicore force jump_threshold_1 to 10^7 at CALL time
+        # (kept as provenance; no kernel dispatch uses it here)
+        return (10000000 if self.backend in ("c", "multicore")
+                else self.jump_threshold_1)
 
     def fit(self, Y, n_p, q_s, q_t=None, q_l=None, d_s=1, d_t=1, d_l=None,
             jump_s=None, jump_t=None, jump_l=None, n_inner=2, n_outer=1,

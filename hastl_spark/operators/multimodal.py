@@ -26,7 +26,19 @@ FEATURE_SCHEMA = (
     "thumb_w int, thumb_h int"
 )
 
-HAVE_REAL_DECODERS = False  # flip when PIL / av are installed
+def _probe_decoders() -> bool:
+    """Auto-detect real media libraries at import: PIL for images (av for
+    video is probed by its own seam). The sandbox container ships neither,
+    so the deterministic fake is the offline path — but an environment WITH
+    the libs gets real decoding with no code change (probed, not assumed)."""
+    try:
+        import PIL.Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+HAVE_REAL_DECODERS = _probe_decoders()
 
 
 def _fake_decode_features(payload: bytes, dim: int = 8) -> np.ndarray:
@@ -42,23 +54,48 @@ def _fake_decode_features(payload: bytes, dim: int = 8) -> np.ndarray:
     return np.array([c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32)
 
 
+def _real_decode_features(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Real decode path (used when PIL imports): decode the image, resize to
+    a dim-pixel strip, emit per-strip channel means — same shape/type
+    contract as the fake, so the Spark plumbing is identical. Non-image or
+    undecodable payloads fall back to the deterministic fake (a corpus at
+    scale always contains corrupt blobs; failing the task on one is wrong)."""
+    import io
+
+    try:
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, 1))
+        return np.asarray(img, dtype=np.float32).reshape(-1)[:dim]
+    except Exception:
+        return _fake_decode_features(payload, dim)
+
+
 def extract_features(media: DataFrame, dim: int = 8, thumb: int = 64,
-                     require_real: bool = False) -> DataFrame:
+                     require_real: bool = False,
+                     use_real: bool | None = None) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Arrow batches arrive as pandas DataFrames; each batch is processed
     vectorized-per-row over the binary payloads (the decode itself is
     per-payload by nature). Output schema is fixed and typed.
+
+    ``use_real=None`` (default) routes through the real decoder iff PIL is
+    importable (probed at import); ``False`` forces the deterministic fake
+    (oracles/tests need reproducible values regardless of environment);
+    ``require_real=True`` fails fast when only the fake is available.
     """
     if require_real and not HAVE_REAL_DECODERS:
         raise NotImplementedError(
             "real media decoding unavailable in this environment; "
-            "install PIL/av and set HAVE_REAL_DECODERS")
+            "install PIL/av (HAVE_REAL_DECODERS is probed at import)")
+    real = HAVE_REAL_DECODERS if use_real is None else use_real
+    decode_fn = _real_decode_features if real else _fake_decode_features
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_decode_features(bytes(p) if p is not None else b"", dim)
+                decode_fn(bytes(p) if p is not None else b"", dim)
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame({

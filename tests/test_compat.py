@@ -62,6 +62,9 @@ def test_fit_dump_writes_reference_field_set(tmp_path, monkeypatch, capsys):
               "q_threshold_1", "q_threshold_2"]
     assert list(data.keys()) == expect
     assert int(data["n_p"]) == 24 and int(data["q_s"]) == 13
-    assert int(data["jump threshold_1"]) == 10000000  # c backend override
+    # the reference's dump loop (stl.py:201) writes self.jump_threshold_1
+    # UN-overridden even on the c backend (the 10^7 override at stl.py:178
+    # only feeds the kernel call) — dump parity requires the ctor value
+    assert int(data["jump threshold_1"]) == 13
     out = capsys.readouterr().out
     assert "n_jump_s:" in out  # params printed like the reference

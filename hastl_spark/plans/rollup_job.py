@@ -106,6 +106,7 @@ def run_pipeline(
     days = sorted({p.split(PART_SEP)[1] for p in metrics["tier_1m"]["partitions"]})
     t_gap = KeyedTable(os.path.join(out_dir, "gapfill_1m"), ["source", "bucket"],
                        part_spec=DAY_SPEC)
+    gap_for_chunks: dict = {}
 
     def branch_gapfill():
         # STL gap-fill on the 1m series. Incremental mode recomputes only
@@ -137,8 +138,16 @@ def run_pipeline(
                 ranges, kw["chunk_buckets"], halo)
             metrics["gapfill_chunks_recomputed"] = len(kw["only_chunks"])
         gap = stl_gapfill(cur_1m, **kw)
-        metrics["gapfill_1m"] = t_gap.merge_upsert(spark, gap,
-                                                   watermark_col="bucket")
+        rec = t_gap.merge_upsert(spark, gap, watermark_col="bucket",
+                                 keep_data=do_gorilla)
+        if do_gorilla and rec.pop("covers_table", False):
+            # full-table merge (the common non-incremental run): hand the
+            # cached written frame to the chunk encoder instead of
+            # re-listing + re-decoding ~sources x days small parquet files
+            gap_for_chunks["df"] = rec.pop("data")
+        elif do_gorilla:
+            rec.pop("data").unpersist()
+        metrics["gapfill_1m"] = rec
 
     # tier cascade (re-aggregates the maintained 1m table, not the raw
     # scan). Incremental: only the DAYS this run's 1m merge touched need
@@ -151,14 +160,33 @@ def run_pipeline(
                       part_spec=MONTH_SPEC)
     t_1d = KeyedTable(os.path.join(out_dir, "tier_1d"), ["source", "bucket"])
 
+    tier_cache: dict = {}
+
+    def _maybe_keep(table, rec, name):
+        """Reuse a merge's cached written frame as the tier's content when
+        it covered every partition; else fall back to a table read."""
+        if rec.pop("covers_table", False):
+            tier_cache[name] = rec.pop("data")
+        elif "data" in rec:
+            rec.pop("data").unpersist()
+        return tier_cache.get(name)
+
     def branch_cascade():
         upd_1m = cur_1m.filter(F.to_date("bucket").cast("string").isin(days))
         r1h = rollup_tier(upd_1m, "1h")
-        metrics["tier_1h"] = t_1h.merge_upsert(spark, r1h, watermark_col="bucket")
-        upd_1h = t_1h.read(spark).filter(
-            F.to_date("bucket").cast("string").isin(days))
-        metrics["tier_1d"] = t_1d.merge_upsert(spark, rollup_tier(upd_1h, "1d"),
-                                               watermark_col="bucket")
+        rec_h = t_1h.merge_upsert(spark, r1h, watermark_col="bucket",
+                                  keep_data=True)
+        cur_1h = _maybe_keep(t_1h, rec_h, "1h")
+        metrics["tier_1h"] = rec_h
+        if cur_1h is None:
+            cur_1h = t_1h.read(spark)
+        upd_1h = cur_1h.filter(F.to_date("bucket").cast("string").isin(days))
+        rec_d = t_1d.merge_upsert(spark, rollup_tier(upd_1h, "1d"),
+                                  watermark_col="bucket",
+                                  keep_data=do_gorilla)
+        if do_gorilla:
+            _maybe_keep(t_1d, rec_d, "1d")
+        metrics["tier_1d"] = rec_d
 
     # gap-fill (STL pandas-UDF compute) and the 1h/1d cascade (two small
     # merges) are independent given cur_1m: overlapping them hides the
@@ -193,11 +221,16 @@ def run_pipeline(
         # per-tier chunk streams union into a single MERGE (one write job
         # instead of four — chunk rows are tiny, job latency dominated)
         parts = []
-        tier_reads = {"1m": cur_1m, "1h": t_1h.read(spark), "1d": t_1d.read(spark)}
+        tier_reads = {"1m": cur_1m,
+                      "1h": tier_cache.get("1h") if tier_cache.get("1h") is not None else t_1h.read(spark),
+                      "1d": tier_cache.get("1d") if tier_cache.get("1d") is not None else t_1d.read(spark)}
         for tier, tdf in tier_reads.items():
             parts.append(gorilla_chunks(tdf, "sum_n_tok")
                          .withColumn("tier", F.lit(tier)))
-        parts.append(gorilla_chunks(t_gap.read(spark), "gapfilled")
+        gap_src = gap_for_chunks.get("df")
+        if gap_src is None:
+            gap_src = t_gap.read(spark)
+        parts.append(gorilla_chunks(gap_src, "gapfilled")
                      .withColumn("tier", F.lit("gapfill_1m")))
         chunks = parts[0]
         for p in parts[1:]:
@@ -217,6 +250,10 @@ def run_pipeline(
         t0 = _mark("chunks", t0)
 
     cur_1m.unpersist()
+    if gap_for_chunks.get("df") is not None:
+        gap_for_chunks["df"].unpersist()
+    for df_c in tier_cache.values():
+        df_c.unpersist()
     wall = time.time() - t_start
     pts = (metrics["tier_1m"]["rows_in"] + metrics["tier_1h"]["rows_in"]
            + metrics["tier_1d"]["rows_in"] + metrics["gapfill_1m"]["rows_in"])

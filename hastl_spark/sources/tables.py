@@ -226,7 +226,8 @@ class KeyedTable:
     # ---- MERGE ----
     def merge_upsert(self, spark: SparkSession, updates: DataFrame,
                      watermark_col: str | None = None,
-                     replace_partitions: bool = False) -> dict:
+                     replace_partitions: bool = False,
+                     keep_data: bool = False) -> dict:
         """Upsert ``updates`` by key; only partitions present in the update
         set are rewritten. Returns the lineage record.
 
@@ -235,7 +236,15 @@ class KeyedTable:
         of key-merged — for derived tables regenerated wholesale per
         partition (e.g. Gorilla chunk sets, whose chunk_start keys shift
         when a backfill moves a chunk boundary: a keyed upsert would leave
-        stale overlapping chunks behind)."""
+        stale overlapping chunks behind).
+
+        ``keep_data=True`` leaves the written data CACHED and returns it in
+        the record as ``record["data"]`` (caller unpersists). When the merge
+        touched every partition (``record["covers_table"]``), that cached
+        frame IS the table content — downstream stages can consume it
+        instead of re-listing and re-decoding hundreds of freshly written
+        partition files (a fixed serial cost that hurts small-cluster
+        scaling)."""
         t0 = time.time()
         man = self._load()
         snap = man["snapshot"] + 1
@@ -304,9 +313,17 @@ class KeyedTable:
             aggs.append(F.max(watermark_col).alias("_wm"))
         stats = {str(r[0]): r for r in stats_src.groupBy(pc).agg(*aggs).collect()}
         rows = sum(r["_n"] for r in stats.values())
-        updates.unpersist()
-        if merged is not None:
-            merged.unpersist()
+        if keep_data:
+            # keep stats_src (the written content) cached for the caller;
+            # release whichever staged frame it is not
+            if merged is not None and stats_src is not merged:
+                merged.unpersist()
+            if stats_src is not updates:
+                updates.unpersist()
+        else:
+            updates.unpersist()
+            if merged is not None:
+                merged.unpersist()
         if man["partitions"]:
             import shutil as _sh
 
@@ -343,6 +360,14 @@ class KeyedTable:
             man["part_spec"] = self.part_spec
         man["lineage"].append(record)
         self._publish(man)
+        if keep_data:
+            # lineage stays JSON-clean: data/covers_table ride only the
+            # returned record, never the persisted manifest
+            record = dict(record)
+            record["covers_table"] = (
+                set(man["partitions"]) == set(part_dirs))
+            record["data"] = (stats_src.drop(pc) if self.part_spec
+                              else stats_src)
         return record
 
     def overwrite(self, spark: SparkSession, df: DataFrame,

@@ -90,6 +90,22 @@ def main():
     checks.append(("gap-fill uses Arrow grouped-map (FlatMapGroupsInPandas)",
                    "FlatMapGroupsInPandas" in p))
 
+    # 4b. grouped-map balance floor: the exchange feeding the pandas UDF
+    # must hash into >= 256 partitions (partitions ~ cores straggle on
+    # key-hash collisions with few keys — measured scaling killer)
+    checks.append(("gap-fill exchange uses the 256-partition balance floor",
+                   "hashpartitioning(source" in p and ", 256)" in p))
+
+    # 4c. portable ANN: signature via ONE Arrow-batched UDF, band keys as
+    # codegen bit ops (not n_bits interpreted Catalyst folds)
+    from hastl_spark.operators.similarity import ann_topk_portable
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = plan_of(ann_topk_portable(embs, embs.filter("vec_id < 4"), dim=64))
+    sections["ann_topk_portable (integer-sign LSH)"] = p
+    checks.append(("portable ANN sig is one Arrow UDF + bit-op band keys",
+                   "ArrowEvalPython" in p and "shiftright" in p))
+
     # 5. broadcast join for small dims (driver-contract revenue query)
     nation = spark.createDataFrame([(i, f"n{i}") for i in range(25)], "n_nationkey int, n_name string")
     big = spark.range(10**6).select(F.col("id").alias("c_custkey"),

@@ -22,8 +22,23 @@ CHUNK_SCHEMA = (
 
 
 def gorilla_chunks(tier_df: DataFrame, value_col: str,
-                   max_points_per_chunk: int = 65536) -> DataFrame:
-    """tier_df(source, bucket, <value_col>) -> chunk table."""
+                   max_points_per_chunk: int = 65536,
+                   chunk_seconds: int | None = None) -> DataFrame:
+    """tier_df(source, bucket, <value_col>) -> chunk table.
+
+    Two chunking disciplines:
+
+    * ``chunk_seconds=None`` (default): row-count chunks of up to
+      ``max_points_per_chunk`` points from the sorted series — densest
+      packing, but a backfill SHIFTS every later chunk boundary, so the
+      chunk set must be regenerated (and partitions replaced) wholesale.
+    * ``chunk_seconds=N``: TIME-ANCHORED chunks — one chunk per
+      ``(source, floor(epoch/N))`` window (TimescaleDB-style hypertable
+      chunking). Boundaries are stable under backfill, so an incremental
+      run can re-encode ONLY the windows its merge touched and keyed-upsert
+      them; ``chunk_start`` is pinned to the window start's encoded first
+      point. Points per chunk are bounded by N / tier-bucket-seconds.
+    """
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         source = key[0]
@@ -31,14 +46,27 @@ def gorilla_chunks(tier_df: DataFrame, value_col: str,
         ts = (pdf["bucket"].astype("int64") // 10**9).to_numpy()
         vals = pdf[value_col].astype("float64").to_numpy()
         rows = []
-        for s in range(0, len(ts), max_points_per_chunk):
-            t = ts[s:s + max_points_per_chunk]
-            v = vals[s:s + max_points_per_chunk]
+        if chunk_seconds is not None:
+            bounds = np.flatnonzero(np.diff(ts // chunk_seconds)) + 1
+            pieces = np.split(np.arange(len(ts)), bounds)
+        else:
+            pieces = [np.arange(s, min(s + max_points_per_chunk, len(ts)))
+                      for s in range(0, len(ts), max_points_per_chunk)]
+        for idx in pieces:
+            if len(idx) == 0:
+                continue
+            t = ts[idx[0]:idx[-1] + 1]
+            v = vals[idx[0]:idx[-1] + 1]
             blob = encode(t, v)
             st = chunk_stats(v, blob)
+            # time-anchored chunks key on the WINDOW start (stable under
+            # backfill — a keyed upsert replaces the window's chunk);
+            # row-count chunks key on the first encoded point
+            start_s = (int(t[0]) // chunk_seconds * chunk_seconds
+                       if chunk_seconds is not None else int(t[0]))
             rows.append({
                 "source": source,
-                "chunk_start": pd.Timestamp(t[0], unit="s"),
+                "chunk_start": pd.Timestamp(start_s, unit="s"),
                 # chunk_end (max encoded ts) makes retention chunk-granular:
                 # a chunk is droppable iff every point in it aged out
                 "chunk_end": pd.Timestamp(t[-1], unit="s"),

@@ -31,6 +31,13 @@ from hastl_spark.sources.tables import (CHUNK_SPEC, DAY_SPEC, MONTH_SPEC,
                                         PART_SEP, KeyedTable)
 
 
+# time-anchored chunk windows per tier (points/window = span / bucket size:
+# 10080 for the 1m tiers, 8760 for 1h, 3650 for 1d — bounded UDF memory,
+# month-or-finer incremental granularity)
+DEFAULT_CHUNK_SECONDS = {"1m": 7 * 86400, "1h": 365 * 86400,
+                         "1d": 3650 * 86400, "gapfill_1m": 7 * 86400}
+
+
 def run_pipeline(
     spark: SparkSession,
     sequences: DataFrame,
@@ -41,6 +48,7 @@ def run_pipeline(
     check_invariant: bool = True,
     overlap: bool = True,
     incremental_gapfill: bool = False,
+    chunk_seconds: dict | None = None,
 ) -> dict:
     """Full pipeline run. ``overlap=True`` runs the two independent
     post-1m branches — STL gap-fill and the 1h/1d tier cascade — on
@@ -52,7 +60,15 @@ def run_pipeline(
     recomputes only the gap-fill chunks whose halo-extended window
     intersects the days this run's 1m merge touched — an incremental run's
     STL cost scales with the touched range, not the table's full history.
-    The first run on an empty gapfill table computes everything."""
+    The first run on an empty gapfill table computes everything.
+
+    ``chunk_seconds={tier: seconds}`` switches the Gorilla chunk tables to
+    TIME-ANCHORED windows (stable chunk keys under backfill) and a KEYED
+    merge; combined with ``incremental_gapfill=True`` the chunk stage then
+    re-encodes only the windows intersecting this run's touched days —
+    removing the last O(full-history) cost per incremental run. Default
+    (None) keeps the densest row-count chunking with wholesale partition
+    replacement."""
     os.makedirs(out_dir, exist_ok=True)
     metrics: dict = {}
     stage_walls: dict = {}
@@ -220,33 +236,71 @@ def run_pipeline(
         # ONE unified chunk table keyed (source, tier, chunk_start): the four
         # per-tier chunk streams union into a single MERGE (one write job
         # instead of four — chunk rows are tiny, job latency dominated)
-        parts = []
-        tier_reads = {"1m": cur_1m,
-                      "1h": tier_cache.get("1h") if tier_cache.get("1h") is not None else t_1h.read(spark),
-                      "1d": tier_cache.get("1d") if tier_cache.get("1d") is not None else t_1d.read(spark)}
-        for tier, tdf in tier_reads.items():
-            parts.append(gorilla_chunks(tdf, "sum_n_tok")
-                         .withColumn("tier", F.lit(tier)))
-        gap_src = gap_for_chunks.get("df")
-        if gap_src is None:
-            gap_src = t_gap.read(spark)
-        parts.append(gorilla_chunks(gap_src, "gapfilled")
-                     .withColumn("tier", F.lit("gapfill_1m")))
-        chunks = parts[0]
-        for p in parts[1:]:
-            chunks = chunks.unionByName(p)
-        # chunk sets are REGENERATED from the full tier each run, and a
-        # backfill can shift 65536-point chunk boundaries (new chunk_start
-        # keys overlapping stale rows) — so affected partitions are
-        # replaced wholesale, not key-merged. Month sub-partitioning (by
-        # chunk_start) + the chunk_end watermark make retention a
-        # metadata-only drop of fully-aged partitions (plans/retention.py).
         t_ch = KeyedTable(os.path.join(out_dir, "chunks"),
                           ["source", "tier", "chunk_start"],
                           part_spec=CHUNK_SPEC)
+        anchored = chunk_seconds is not None
+        inc_chunks = anchored and incremental_gapfill and t_ch.exists()
+        gap_src = gap_for_chunks.get("df")
+        if gap_src is None:
+            gap_src = t_gap.read(spark)
+        tier_srcs = {
+            "1m": (cur_1m, "sum_n_tok"),
+            "1h": (tier_cache.get("1h") if tier_cache.get("1h") is not None
+                   else t_1h.read(spark), "sum_n_tok"),
+            "1d": (tier_cache.get("1d") if tier_cache.get("1d") is not None
+                   else t_1d.read(spark), "sum_n_tok"),
+            "gapfill_1m": (gap_src, "gapfilled"),
+        }
+        parts = []
+        n_windows = {}
+        for tier, (tdf, vcol) in tier_srcs.items():
+            kw = {}
+            if anchored:
+                W = int(chunk_seconds[tier])
+                kw["chunk_seconds"] = W
+                if inc_chunks:
+                    # re-encode ONLY the time windows intersecting this
+                    # run's touched days (whole windows: the encode needs
+                    # every row of a touched window, not just touched days).
+                    # The gapfill tier's touched set comes from the
+                    # gap-fill MERGE's own partitions — its halo rewrites
+                    # days beyond the 1m merge's set
+                    import datetime as _dt
+
+                    tier_days = days
+                    if tier == "gapfill_1m":
+                        tier_days = sorted({
+                            p.split(PART_SEP)[1]
+                            for p in metrics["gapfill_1m"]["partitions"]})
+                    win_set: set[int] = set()
+                    for d in tier_days:
+                        d0 = int(_dt.datetime.fromisoformat(
+                            d + "T00:00:00+00:00").timestamp())
+                        win_set.update(range(d0 // W, (d0 + 86399) // W + 1))
+                    wins = sorted(win_set)
+                    n_windows[tier] = len(wins)
+                    tdf = tdf.filter(
+                        (F.unix_timestamp("bucket") / W).cast("long")
+                        .isin(wins))
+            parts.append(gorilla_chunks(tdf, vcol, **kw)
+                         .withColumn("tier", F.lit(tier)))
+        chunks = parts[0]
+        for p in parts[1:]:
+            chunks = chunks.unionByName(p)
+        # row-count chunking: chunk sets are REGENERATED from the full tier
+        # each run, and a backfill can shift 65536-point chunk boundaries
+        # (new chunk_start keys overlapping stale rows) — so affected
+        # partitions are replaced wholesale. Time-anchored chunking: keys
+        # are stable, so a keyed upsert replaces exactly the re-encoded
+        # windows. Month sub-partitioning (by chunk_start) + the chunk_end
+        # watermark make retention a metadata-only drop of fully-aged
+        # partitions (plans/retention.py) either way.
+        if inc_chunks:
+            metrics["chunk_windows_recomputed"] = n_windows
         metrics["chunks"] = t_ch.merge_upsert(spark, chunks,
                                               watermark_col="chunk_end",
-                                              replace_partitions=True)
+                                              replace_partitions=not anchored)
         t0 = _mark("chunks", t0)
 
     cur_1m.unpersist()
@@ -287,6 +341,9 @@ def main(argv=None):
                          "run's days (requires --chunk-buckets)")
     ap.add_argument("--chunk-buckets", type=int, default=None,
                     help="chunked STL gap-fill chunk size in buckets")
+    ap.add_argument("--anchored-chunks", action="store_true",
+                    help="time-anchored Gorilla chunk windows (stable keys; "
+                         "enables incremental chunk re-encode)")
     ap.add_argument("--repeat", type=int, default=1,
                     help="timed pipeline executions in this session (bench)")
     ap.add_argument("--warmup", type=int, default=0,
@@ -309,7 +366,9 @@ def main(argv=None):
                                do_gorilla=not args.no_gorilla,
                                stl_kwargs=stl_kwargs,
                                overlap=not args.no_overlap,
-                               incremental_gapfill=args.incremental_gapfill)
+                               incremental_gapfill=args.incremental_gapfill,
+                               chunk_seconds=(DEFAULT_CHUNK_SECONDS
+                                              if args.anchored_chunks else None))
         print(json.dumps(metrics["summary"]))
         return
 
@@ -327,7 +386,9 @@ def main(argv=None):
                                do_gorilla=not args.no_gorilla,
                                stl_kwargs=stl_kwargs,
                                overlap=not args.no_overlap,
-                               incremental_gapfill=args.incremental_gapfill)
+                               incremental_gapfill=args.incremental_gapfill,
+                               chunk_seconds=(DEFAULT_CHUNK_SECONDS
+                                              if args.anchored_chunks else None))
         shutil.rmtree(out, ignore_errors=True)
         if i >= args.warmup:
             walls.append(metrics["summary"]["wall_s"])

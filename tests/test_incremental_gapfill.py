@@ -79,3 +79,66 @@ def test_incremental_rewrites_only_touched_days(spark, tmp_path):
     for c in cols[2:]:
         np.testing.assert_array_equal(inc_pdf[c].values, full_pdf[c].values,
                                       err_msg=c)
+
+
+def test_gorilla_chunks_time_anchored(spark):
+    """chunk_seconds mode: one chunk per (source, window); chunk_start is
+    the WINDOW start (stable under backfill), chunk_end the last point."""
+    import pandas as pd
+
+    from hastl_spark.operators.chunks import decode_chunks_df, gorilla_chunks
+
+    buckets = pd.date_range("2026-01-01", periods=3 * 1440, freq="60s")
+    pdf = pd.DataFrame({"source": "s1", "bucket": buckets,
+                        "sum_n_tok": np.arange(3 * 1440, dtype="float64")})
+    df = spark.createDataFrame(pdf)
+    ch = gorilla_chunks(df, "sum_n_tok", chunk_seconds=86400).toPandas() \
+        .sort_values("chunk_start").reset_index(drop=True)
+    assert len(ch) == 3
+    assert [str(c) for c in ch["chunk_start"]] == [
+        "2026-01-01 00:00:00", "2026-01-02 00:00:00", "2026-01-03 00:00:00"]
+    assert ch["n_points"].tolist() == [1440, 1440, 1440]
+    # decode reproduces every point
+    pts = decode_chunks_df(gorilla_chunks(df, "sum_n_tok",
+                                          chunk_seconds=86400)).toPandas()
+    assert len(pts) == 3 * 1440 and pts["value"].sum() == pdf.sum_n_tok.sum()
+
+
+@pytest.mark.slow
+def test_incremental_anchored_chunks_rewrite_only_touched_windows(spark, tmp_path):
+    """Time-anchored chunk tables + incremental run: only windows
+    intersecting the touched days re-encode; table state equals a full
+    anchored recompute."""
+    from hastl_spark.plans.rollup_job import run_pipeline
+
+    CS = {"1m": 86400, "1h": 365 * 86400, "1d": 3650 * 86400,
+          "gapfill_1m": 86400}
+    seqs = _seqs(spark)
+    first = seqs.filter(_bucket_of(F.col("doc_id")) < 3 * 1440)
+    last_day = seqs.filter(_bucket_of(F.col("doc_id")) >= 3 * 1440)
+
+    inc_dir = str(tmp_path / "inc")
+    run_pipeline(spark, first, inc_dir, check_invariant=False,
+                 stl_kwargs=STL_KW, incremental_gapfill=True,
+                 chunk_seconds=CS)
+    ch_t = KeyedTable(f"{inc_dir}/chunks", ["source", "tier", "chunk_start"])
+    before = ch_t.read(spark).filter("tier = '1m'").toPandas()
+    assert len(before) == 2 * 3  # 2 sources x 3 day-windows
+
+    m2 = run_pipeline(spark, last_day, inc_dir, check_invariant=False,
+                      stl_kwargs=STL_KW, incremental_gapfill=True,
+                      chunk_seconds=CS)
+    assert m2["chunk_windows_recomputed"]["1m"] == 1  # only day 4's window
+
+    full_dir = str(tmp_path / "full")
+    run_pipeline(spark, seqs, full_dir, check_invariant=False,
+                 stl_kwargs=STL_KW, chunk_seconds=CS)
+    cols = ["source", "tier", "chunk_start", "n_points", "crc32"]
+    inc = (ch_t.read(spark).select(cols).toPandas()
+           .sort_values(cols).reset_index(drop=True))
+    full = (KeyedTable(f"{full_dir}/chunks", ["source", "tier", "chunk_start"])
+            .read(spark).select(cols).toPandas()
+            .sort_values(cols).reset_index(drop=True))
+    assert len(inc) == len(full)
+    for c in cols:
+        assert (inc[c].values == full[c].values).all(), c

@@ -268,7 +268,7 @@ def q_label_centroid_norm(spark, sf_dir):
 def q_stl_gapfill_1h(spark, sf_dir):
     h1 = _rollup_events_1h_raw(spark, sf_dir)
     gap = stl_gapfill(h1, value_col="cnt", bucket_seconds=3600, n_p=24, q_s=13,
-                      d_s=0, key_col="event_type")
+                      d_s=0, key_col="event_type", n_keys=8)
     return gap.select(
         "event_type", "bucket", "y",
         F.round("seasonal", 4).alias("seasonal"),
@@ -284,7 +284,7 @@ def q_gorilla_roundtrip_1h(spark, sf_dir):
     from hastl_spark.operators.chunks import decode_chunks_df, gorilla_chunks
 
     h1 = _rollup_events_1h_raw(spark, sf_dir).withColumnRenamed("event_type", "source")
-    ch = gorilla_chunks(h1, "sum_value")
+    ch = gorilla_chunks(h1, "sum_value", n_keys=8)
     pts = decode_chunks_df(ch)
     return pts.select(
         "source",

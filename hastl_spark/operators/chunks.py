@@ -23,7 +23,8 @@ CHUNK_SCHEMA = (
 
 def gorilla_chunks(tier_df: DataFrame, value_col: str,
                    max_points_per_chunk: int = 65536,
-                   chunk_seconds: int | None = None) -> DataFrame:
+                   chunk_seconds: int | None = None,
+                   n_keys: int | None = None) -> DataFrame:
     """tier_df(source, bucket, <value_col>) -> chunk table.
 
     Two chunking disciplines:
@@ -87,7 +88,7 @@ def gorilla_chunks(tier_df: DataFrame, value_col: str,
 
     from .gapfill import _grouped_map_partitions
 
-    tier_df = tier_df.repartition(_grouped_map_partitions(tier_df),
+    tier_df = tier_df.repartition(_grouped_map_partitions(tier_df, n_keys),
                                   F.col("source"))
     return tier_df.groupBy("source").applyInPandas(fn, CHUNK_SCHEMA)
 

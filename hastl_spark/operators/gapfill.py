@@ -94,6 +94,7 @@ def stl_gapfill(
     chunk_buckets: int | None = None,
     halo_buckets: int | None = None,
     only_chunks: list[int] | None = None,
+    n_keys: int | None = None,
     **extra_params,
 ) -> DataFrame:
     """rollup(source, bucket, cnt, value_col) -> densified + decomposed series.
@@ -110,7 +111,7 @@ def stl_gapfill(
     if chunk_buckets is not None:
         return _stl_gapfill_chunked(rollup, value_col, bucket_seconds, n_p,
                                     params, key_col, chunk_buckets,
-                                    halo_buckets, only_chunks)
+                                    halo_buckets, only_chunks, n_keys)
     if only_chunks is not None:
         raise ValueError("only_chunks requires chunk_buckets (incremental "
                          "recomputation is defined on the chunked grid)")
@@ -151,27 +152,34 @@ def stl_gapfill(
     # exchange — no extra shuffle) and scales with the session's cores.
     import pyspark.sql.functions as F
 
-    rollup = rollup.repartition(_grouped_map_partitions(rollup), F.col(key_col))
+    rollup = rollup.repartition(_grouped_map_partitions(rollup, n_keys),
+                                F.col(key_col))
     return rollup.groupBy(key_col).applyInPandas(fn, schema)
 
 
-def _grouped_map_partitions(df: DataFrame) -> int:
-    """Partition count for grouped-map stages: cores x 2 with a FLOOR of 256.
-    With few distinct keys (e.g. 64 sources) and partitions ~ cores, hash
-    collisions put 3-4x more keys in some partitions than others and the
-    stage wall is that straggler — measured as THE scaling-efficiency killer
-    (gap-fill 0.55, chunk encode 0.34 at 2->8 cores). A floor far above the
-    key count dilutes collisions to <=1-2 keys per partition, so the stage
-    becomes ~one task per key and load-balances at any core count; the
-    ~256-task scheduling overhead is milliseconds. With many keys the
-    cores-based term dominates and the law of large numbers balances."""
-    return max(df.sparkSession.sparkContext.defaultParallelism * 2, 256)
+def _grouped_map_partitions(df: DataFrame, n_keys: int | None = None) -> int:
+    """Partition count for grouped-map stages: cores x 2 with a FLOOR well
+    above the group-key count. With few distinct keys (e.g. 64 sources) and
+    partitions ~ cores, hash collisions put 3-4x more keys in some
+    partitions than others and the stage wall is that straggler — measured
+    as THE scaling-efficiency killer (gap-fill 0.55, chunk encode 0.34 at
+    2->8 cores). Partitions >= 4x keys dilute collisions to ~one key per
+    partition, so the stage load-balances at any core count.
+
+    When the caller knows the key cardinality (``n_keys``), the floor is
+    4x that — a 5-key query then schedules ~64 tasks, not 256 (at toy
+    scale the fixed ~5-10ms/task of 200 empty grouped-map tasks is a
+    visible constant). Unknown cardinality keeps the conservative 256."""
+    dp2 = df.sparkSession.sparkContext.defaultParallelism * 2
+    floor = 256 if n_keys is None else min(256, 4 * int(n_keys))
+    return max(dp2, floor)
 
 
 def _stl_gapfill_chunked(rollup: DataFrame, value_col: str, bucket_seconds: int,
                          n_p: int, params: dict, key_col: str,
                          chunk_buckets: int, halo_buckets: int | None,
-                         only_chunks: list[int] | None = None) -> DataFrame:
+                         only_chunks: list[int] | None = None,
+                         n_keys: int | None = None) -> DataFrame:
     """Grid-chunked STL gap-fill: split the bucket grid into
     ``chunk_buckets``-sized chunks, extend each by a halo wide enough to
     cover the widest loess window, run one STL task per (key, chunk), emit
@@ -275,6 +283,6 @@ def _stl_gapfill_chunked(rollup: DataFrame, value_col: str, bucket_seconds: int,
         })
 
     schema = GAPFILL_SCHEMA.replace("source string", f"{key_col} string")
-    df = df.repartition(_grouped_map_partitions(rollup),
+    df = df.repartition(_grouped_map_partitions(rollup, n_keys),
                         F.col(key_col), F.col("_chunk"))
     return df.groupBy(key_col, "_chunk").applyInPandas(fn, schema)

@@ -59,6 +59,9 @@ def default_halo_buckets(n_p: int = 52, **params) -> int:
     single-window halo (max(q_s*n_p, q_t, q_l)) left ~3e-5 errors within
     ~q_s*n_p/2 of series edges — measured bit-exact only once the halo
     covers the compounded radius (tests/test_gapfill_chunked.py)."""
+    # default q_s mirrors stl_gapfill's signature, so a caller that relies
+    # on the operator defaults derives the matching halo
+    params.setdefault("q_s", 19)
     p0 = canonicalize_stl_params(10 ** 9, n_p, **params)
     passes = max(1, p0.n_inner) * max(1, p0.n_outer)
     per_pass = p0.q_s * n_p + p0.q_t + p0.q_l + 2 * n_p + 3

@@ -29,6 +29,12 @@ def _bucket_of(doc_id_col):
     return (seq_no / SEQS_PER_BUCKET).cast("long")
 
 
+def test_default_halo_without_explicit_qs():
+    # the pipeline passes only {"chunk_buckets": N}; halo derivation must
+    # fall back to stl_gapfill's q_s default instead of raising
+    assert default_halo_buckets(52) == default_halo_buckets(52, q_s=19) > 0
+
+
 def test_touched_chunk_ids():
     assert touched_chunk_ids([(100, 199)], 100, 50) == [0, 1, 2]
     assert touched_chunk_ids([(0, 9)], 100, 10) == [-1, 0]

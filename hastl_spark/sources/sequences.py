@@ -102,8 +102,13 @@ def generate_sequences(
         F.explode(F.sequence(F.lit(0), F.col("n_docs") - 1)).alias("k"),
     )
     seq = (F.col("b") * SEQS_PER_BUCKET + F.col("k")).cast("long")
+    # format_string('%010d') == python f"{seq:010d}": pads short values and
+    # KEEPS all digits of longer ones. lpad() would silently TRUNCATE seqs
+    # past 10 digits (b >= 100000, i.e. histories > ~69 days of minutes),
+    # corrupting doc_ids and the event times derived from them.
     df = df.withColumn(
-        "doc_id", F.concat(F.col("source"), F.lit("-"), F.lpad(seq.cast("string"), 10, "0"))
+        "doc_id",
+        F.concat(F.col("source"), F.lit("-"), F.format_string("%010d", seq)),
     )
     span = tok_hi - tok_lo + 1
     df = df.withColumn(

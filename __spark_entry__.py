@@ -371,35 +371,21 @@ def q_loess_smooth_1h(spark, sf_dir):
     dense = densify_grid(h1, bucket_seconds=3600, key_col="event_type")
     series = dense.select("event_type", "bucket", F.col("sum_value").alias("y"))
     sm = loess_smooth(series, q=25, degree=1, jump=1,
-                      key_col="event_type", order_col="bucket")
+                      key_col="event_type", order_col="bucket", n_keys=5)
     return sm.select("event_type", "bucket", F.round("y", 4).alias("y"),
                      F.round("smoothed", 4).alias("smoothed"))
 
 
 def q_trend_strength(spark, sf_dir):
     """Per-event_type trend magnitude + seasonal amplitude of the hourly
-    count series (reference entries stl.fut:481-500), via mapInPandas over
-    the gap-fill output."""
-    import numpy as np
-    import pandas as pd
-
-    from hastl_spark.kernel import seasonal_amplitude, trend_magnitude
+    count series (reference entries stl.fut:481-500), via the
+    trend_strength operator (grouped-map floor applied) over the gap-fill
+    output."""
+    from hastl_spark.operators.trend import trend_strength
 
     gap = q_stl_gapfill_1h(spark, sf_dir)
-
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("bucket")
-        t = pdf["trend"].to_numpy(dtype=np.float32)[None, :]
-        s = pdf["seasonal"].to_numpy(dtype=np.float32)[None, :]
-        return pd.DataFrame({
-            "event_type": [key[0]],
-            "trend_magnitude": [float(trend_magnitude(t)[0])],
-            "seasonal_amplitude": [float(seasonal_amplitude(s)[0])],
-        })
-
-    return gap.groupBy("event_type").applyInPandas(
-        fn, "event_type string, trend_magnitude double, seasonal_amplitude double"
-    )
+    return trend_strength(gap, key_col="event_type", order_col="bucket",
+                          n_keys=5)
 
 
 # ---------------------------------------------------------------- contract

@@ -21,9 +21,33 @@ values, XOR with predecessor:
 
 Encoding is vectorized: classification, leading/trailing-zero counts and the
 bit-matrix packing are whole-array NumPy; the only sequential walk is over
-value-block CHANGES ('11' events), which are rare on smooth series. Decode
-is a sequential bit-cursor (variable-length codes), used on the read path
-and for round-trip verification.
+value-block CHANGES ('11' events), which are rare on smooth series.
+
+Decode is ALSO fully vectorized (no per-token Python). The paper's
+interleaved bit stream is self-delimiting, which forces a sequential
+cursor; the on-disk layout therefore COLUMNARIZES each side's tokens into
+control / (header) / payload sub-streams with the exact same token grammar
+and bit budget:
+  * control streams hold only the variable-length prefix codes (<= 4 bits
+    per timestamp token, <= 2 bits per value token), so token starts come
+    from a per-position token-length table + pointer doubling
+    (jump -> jump o jump) over a tiny domain (~16-32 KB for a 64k chunk,
+    not the ~0.5 MB interleaved stream);
+  * value block headers are fixed 11-bit lz/len records, one per '11'
+    event — a constant-stride gather (the reuse-token length depending on
+    the current block is the sequential state that makes the interleaved
+    layout undecodable without a cursor; here it run-expands from the
+    header stream);
+  * payload offsets are one cumsum of per-token lengths; extraction is a
+    9-bytes-per-TOKEN gather (``_words_at``), never a 64-bit window per
+    BIT; the dod -> timestamp and prev-XOR chains are cumsum /
+    ``np.bitwise_xor.accumulate``.
+This is the split-stream trick time-series formats use on disk (controls
+separated from payloads, as in Chimp/ALP-style layouts): identical
+information, within a few pad bytes of the interleaved size, O(L log n)
+NumPy decode. Peak decode memory is ~O(n) tables + bit-expanded control
+streams, not ~64x the whole buffer (round-3 review finding); ``decode``
+guards a max buffer size as a backstop.
 """
 
 from __future__ import annotations
@@ -33,8 +57,12 @@ import zlib
 
 import numpy as np
 
-_MAGIC = b"GOR1"
+_MAGIC = b"GOR2"
 _U64 = np.uint64
+# read-path guard: our writers cap chunks at <=65536 points (<=0.6 MB value
+# stream); anything vastly larger is corrupt or foreign, and the decode
+# tables would be ~12x the buffer — fail loudly rather than thrash.
+MAX_DECODE_BYTES = 64 << 20
 
 
 def _bit_length_u64(v: np.ndarray) -> np.ndarray:
@@ -154,7 +182,12 @@ def _encode_values(bits: np.ndarray):
 
 def encode(timestamps: np.ndarray, values: np.ndarray) -> bytes:
     """Encode one chunk. timestamps int64 (epoch seconds), values float64.
-    NaNs round-trip bit-exactly (raw IEEE bits)."""
+    NaNs round-trip bit-exactly (raw IEEE bits).
+
+    Layout: GOR2 | n u32 | t0 i64 | v0 u64 | six u32 stream lengths (ts
+    ctrl, ts payload, value ctrl, value headers, value payload, nblk) |
+    the five bit-streams in that order (module docstring — split layout,
+    same token grammar/bit budget as the paper's)."""
     ts = np.asarray(timestamps, dtype=np.int64)
     vals = np.asarray(values, dtype=np.float64)
     assert ts.shape == vals.shape and ts.ndim == 1
@@ -164,73 +197,99 @@ def encode(timestamps: np.ndarray, values: np.ndarray) -> bytes:
     bits = vals.view(np.uint64)
     head = _MAGIC + struct.pack("<IqQ", n, int(ts[0]), int(bits[0]))
     if n == 1:
-        return head + struct.pack("<II", 0, 0)
+        return head + struct.pack("<IIIIII", 0, 0, 0, 0, 0, 0)
 
     tc, tcl, tp, tpl = _encode_timestamps(ts)
-    ts_bytes = _pack_tokens(
-        np.concatenate([tc[:, None], tp[:, None]], axis=1).ravel(),
-        np.concatenate([tcl[:, None], tpl[:, None]], axis=1).ravel(),
-    )
+    tctrl_bytes = _pack_tokens(tc, tcl)
+    tpay_bytes = _pack_tokens(tp, tpl)
     vc, vcl, vh, vhl, vp, vpl = _encode_values(bits)
-    val_bytes = _pack_tokens(
-        np.stack([vc, vh, vp], axis=1).ravel(),
-        np.stack([vcl, vhl, vpl], axis=1).ravel(),
-    )
-    return head + struct.pack("<II", len(ts_bytes), len(val_bytes)) + ts_bytes + val_bytes
+    ctrl_bytes = _pack_tokens(vc, vcl)
+    nb = vc == 3  # '11' block events, in token order
+    hdr_bytes = _pack_tokens(vh[nb], vhl[nb])
+    pay_bytes = _pack_tokens(vp, vpl)
+    return (head
+            + struct.pack("<IIIIII", len(tctrl_bytes), len(tpay_bytes),
+                          len(ctrl_bytes), len(hdr_bytes), len(pay_bytes),
+                          int(nb.sum()))
+            + tctrl_bytes + tpay_bytes + ctrl_bytes + hdr_bytes + pay_bytes)
 
 
-def _sliding_words(buf: bytes) -> np.ndarray:
-    """w[p] = the 64 bits of ``buf`` starting at bit p, MSB-first, as uint64
-    (positions past the end read as 0). Built from BYTE-offset big-endian
-    words (8 vectorized shifts) broadcast over the 8 intra-byte offsets —
-    no per-bit work anywhere."""
+def _unpack_bits(buf: bytes, pad_bits: int = 128) -> np.ndarray:
+    """Buffer as a uint8 bit array (MSB-first), zero-padded past the end so
+    length tables stay defined for tokens ending at the buffer edge."""
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+    return np.concatenate([bits, np.zeros(pad_bits, dtype=np.uint8)])
+
+
+def _words_at(buf: bytes, pos: np.ndarray) -> np.ndarray:
+    """uint64 of the 64 bits starting at bit offset pos[i] (MSB-first, zero
+    past the end): 9 byte-gathers per POSITION instead of a materialized
+    64-bit window per BIT — the round-3 review's ~64x-buffer decode peak
+    becomes O(#tokens)."""
     b = np.frombuffer(buf, dtype=np.uint8)
     b = np.concatenate([b, np.zeros(16, dtype=np.uint8)])
-    n_words = len(b) - 15  # byte offsets with a full 8+1 bytes ahead
-    W = np.zeros(n_words, dtype=np.uint64)
+    pos = np.asarray(pos, dtype=np.int64)
+    byte = np.minimum(pos >> 3, len(b) - 16)
+    sh = (pos & 7).astype(np.uint64)
+    w = np.zeros(len(pos), dtype=np.uint64)
     for j in range(8):
-        W |= b[j:j + n_words].astype(np.uint64) << _U64(8 * (7 - j))
-    nxt = b[8:8 + n_words].astype(np.uint64)
-    r = np.arange(8, dtype=np.uint64)
-    # w[8*i + r] = (W[i] << r) | (b[i+8] >> (8-r));  r=0: b>>8 == 0
-    return ((W[:, None] << r[None, :])
-            | (nxt[:, None] >> (_U64(8) - r[None, :]))).ravel()
+        w |= b[byte + j].astype(np.uint64) << _U64(8 * (7 - j))
+    nxt = b[byte + 8].astype(np.uint64)
+    # sh=0: nxt >> 8 == 0 (byte values < 256), so no branch needed
+    return (w << sh) | (nxt >> (_U64(8) - sh))
 
 
-def _decode_timestamps(ts_buf: bytes, n: int, t0: int) -> np.ndarray:
-    """Fully vectorized timestamp decode: a token-length table per bit
-    position + orbit materialization by pointer doubling finds all token
-    starts without a sequential bit walk; payload extraction, dod -> delta
-    -> timestamp are then two cumsums."""
-    w = _sliding_words(ts_buf)
-    L = len(w)
-    top4 = (w >> _U64(60)).astype(np.int64)
-    # token length by control prefix: 0 | 10 | 110 | 1110 | 1111
-    tl = np.where(top4 < 8, 1,                      # '0...'
-         np.where(top4 < 12, 9,                     # '10..' + 7
-         np.where(top4 < 14, 12,                    # '110.' + 9
-         np.where(top4 < 15, 16, 68))))             # '1110'+12 | '1111'+64
+def _token_starts(tl: np.ndarray, count: int) -> np.ndarray:
+    """First ``count`` token-start bit positions given a per-bit-position
+    token-length table, by pointer doubling: starts = orbit of 0 under
+    p -> p + tl[p], materialized in O(L log count) with no Python loop over
+    tokens. Only the tl values AT true token starts must be correct."""
+    L = len(tl)
     f = np.minimum(np.arange(L, dtype=np.int64) + tl, L - 1)
     starts = np.zeros(1, dtype=np.int64)
     jump = f
-    while len(starts) < n - 1:
+    while len(starts) < count:
         starts = np.concatenate([starts, jump[starts]])
-        if len(starts) < n - 1:
+        if len(starts) < count:
             jump = jump[jump]
-    starts = starts[:n - 1]
+    return starts[:count]
 
-    ws = w[starts]
-    c = top4[starts]
-    dod = np.zeros(n - 1, dtype=np.int64)  # '0' tokens stay 0
-    b1 = (c >= 8) & (c < 12)   # '10..' + 7b
-    b2 = (c >= 12) & (c < 14)  # '110.' + 9b
-    b3 = c == 14               # '1110' + 12b
-    b4 = c == 15               # '1111' + 64b raw
-    dod[b1] = ((ws[b1] >> _U64(64 - 9)) & _U64(0x7F)).astype(np.int64) - 63
-    dod[b2] = ((ws[b2] >> _U64(64 - 12)) & _U64(0x1FF)).astype(np.int64) - 255
-    dod[b3] = ((ws[b3] >> _U64(64 - 16)) & _U64(0xFFF)).astype(np.int64) - 2047
-    if b4.any():
-        dod[b4] = w[starts[b4] + 4].view(np.int64)
+
+def _decode_timestamps(ctrl_buf: bytes, pay_buf: bytes,
+                       n: int, t0: int) -> np.ndarray:
+    """Fully vectorized timestamp decode over the split streams: the
+    control stream's token length is a pure function of its leading bits
+    ('0'=1, '10'=2, '110'=3, '111x'=4), so a length table + pointer
+    doubling over the <= 4 bit/token domain finds all token starts;
+    payload lengths per class -> one cumsum of offsets -> word gathers;
+    dod -> delta -> timestamp are two more cumsums."""
+    cbits = _unpack_bits(ctrl_buf, pad_bits=32)
+    L = len(cbits) - 3
+    b0, bx1, bx2 = cbits[0:L], cbits[1:L + 1], cbits[2:L + 2]
+    tl = np.where(b0 == 0, 1,
+         np.where(bx1 == 0, 2,
+         np.where(bx2 == 0, 3, 4))).astype(np.int64)
+    starts = _token_starts(tl, n - 1)
+
+    # class per token: 0:'0' 1:'10' 2:'110' 3:'1110' 4:'1111'
+    g0 = cbits[starts].astype(np.int64)
+    g1 = g0 & cbits[starts + 1]
+    g2 = g1 & cbits[starts + 2]
+    g3 = g2 & cbits[starts + 3]
+    c = g0 + g1 + g2 + g3
+    PLEN = np.array([0, 7, 9, 12, 64], dtype=np.int64)
+    plen = PLEN[c]
+    off = np.cumsum(plen) - plen
+    dod = np.zeros(n - 1, dtype=np.int64)  # class 0 stays 0
+    pay = np.flatnonzero(c > 0)
+    if len(pay):
+        pw = _words_at(pay_buf, off[pay])
+        cp, pl = c[pay], plen[pay]
+        raw = (pw >> (_U64(64) - pl.astype(np.uint64)))
+        BIAS = np.array([0, 63, 255, 2047, 0], dtype=np.int64)
+        v = np.where(cp == 4, raw.view(np.int64),
+                     raw.astype(np.int64) - BIAS[cp])
+        dod[pay] = v
     deltas = np.cumsum(dod)
     ts = np.empty(n, dtype=np.int64)
     ts[0] = t0
@@ -238,56 +297,72 @@ def _decode_timestamps(ts_buf: bytes, n: int, t0: int) -> np.ndarray:
     return ts
 
 
-def _decode_values(val_buf: bytes, n: int, v0: int) -> np.ndarray:
-    """Value decode: one Python iteration per TOKEN (pure int arithmetic on
-    the precomputed sliding-word table — the round-2 version looped per BIT,
-    ~40x more iterations at typical 30-50-bit XOR payloads). Fully
-    vectorizing is blocked by the reuse-token length depending on the
-    current block, a sequential state; per-token is the scale-honest
-    compromise for the read path."""
-    w = _sliding_words(val_buf)
-    wl = w  # uint64 ndarray; int() per access
+def _decode_values(ctrl_buf: bytes, hdr_buf: bytes, pay_buf: bytes,
+                   n: int, v0: int, nblk: int) -> np.ndarray:
+    """Fully vectorized value decode over the split streams. Token starts
+    come from pointer doubling over the CONTROL stream only (<= 2 bits per
+    token); block headers are a fixed 11-bit-stride gather; per-token
+    payload lengths run-expand from the governing block, their offsets are
+    one cumsum; the prev-chain is one bitwise_xor.accumulate."""
+    ntok = n - 1
+    cbits = _unpack_bits(ctrl_buf, pad_bits=16)
+    tl = np.where(cbits == 0, 1, 2).astype(np.int64)
+    starts = _token_starts(tl, ntok)
+    b0 = cbits[starts] == 1
+    b1 = cbits[starts + 1] == 1
+    is_blk = b0 & b1
+    is_reuse = b0 & ~b1
+    blk_tok = np.flatnonzero(is_blk)
+    assert len(blk_tok) == nblk, "control stream disagrees with header count"
+    if nblk == 0:
+        return np.full(n, v0, dtype=np.uint64)  # all-zero XORs
+
+    hw = _words_at(hdr_buf, 11 * np.arange(nblk, dtype=np.int64))
+    lz = ((hw >> _U64(59)) & _U64(0x1F)).astype(np.int64)
+    ln = ((hw >> _U64(53)) & _U64(0x3F)).astype(np.int64)
+    ln[ln == 0] = 64
+
+    tok_lz = np.zeros(ntok, dtype=np.int64)
+    tok_ln = np.zeros(ntok, dtype=np.int64)
+    tok_lz[blk_tok], tok_ln[blk_tok] = lz, ln
+    rj = np.flatnonzero(is_reuse)
+    if len(rj):
+        g = np.searchsorted(blk_tok, rj) - 1  # governing block per reuse
+        tok_lz[rj], tok_ln[rj] = lz[g], ln[g]
+
+    has_pay = is_blk | is_reuse
+    plen = np.where(has_pay, tok_ln, 0)
+    off = np.cumsum(plen) - plen  # exclusive prefix: payload bit offsets
+    xor = np.zeros(ntok, dtype=np.uint64)
+    hp = np.flatnonzero(has_pay)
+    if len(hp):
+        pw = _words_at(pay_buf, off[hp])
+        m = pw >> (_U64(64) - tok_ln[hp].astype(np.uint64))
+        xor[hp] = m << (64 - tok_lz[hp] - tok_ln[hp]).astype(np.uint64)
     out = np.empty(n, dtype=np.uint64)
     out[0] = np.uint64(v0)
-    prev = int(v0)
-    p = 0
-    blk_lz = blk_len = 0
-    for i in range(1, n):
-        word = int(wl[p])
-        if word >> 63 == 0:
-            p += 1
-            out[i] = prev
-            continue
-        if (word >> 62) & 1 == 0:  # '10' reuse current block
-            m = int(wl[p + 2]) >> (64 - blk_len)
-            xor = m << (64 - blk_lz - blk_len)
-            p += 2 + blk_len
-        else:  # '11' new block: 5b lz + 6b len (0 -> 64) + payload
-            blk_lz = (word >> 57) & 0x1F
-            blk_len = ((word >> 51) & 0x3F) or 64
-            m = int(wl[p + 13]) >> (64 - blk_len)
-            xor = m << (64 - blk_lz - blk_len)
-            p += 13 + blk_len
-        prev ^= xor
-        out[i] = prev
-    return out
+    out[1:] = xor
+    return np.bitwise_xor.accumulate(out)
 
 
 def decode(buf: bytes):
     """Inverse of :func:`encode`. Returns (timestamps int64, values float64)."""
     assert buf[:4] == _MAGIC, "bad magic"
+    assert len(buf) <= MAX_DECODE_BYTES, \
+        f"chunk buffer {len(buf)}B exceeds MAX_DECODE_BYTES — corrupt chunk?"
     (n,) = struct.unpack_from("<I", buf, 4)
     if n == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     t0, v0 = struct.unpack_from("<qQ", buf, 8)
-    lt, lv = struct.unpack_from("<II", buf, 24)
-    off = 32
-    ts_buf = buf[off:off + lt]
-    val_buf = buf[off + lt:off + lt + lv]
+    ltc, ltp, lc, lh, lp, nblk = struct.unpack_from("<IIIIII", buf, 24)
+    off = 48
+    cuts = np.cumsum([off, ltc, ltp, lc, lh, lp])
+    tctrl_buf, tpay_buf, ctrl_buf, hdr_buf, pay_buf = (
+        buf[cuts[i]:cuts[i + 1]] for i in range(5))
 
     if n > 1:
-        ts = _decode_timestamps(ts_buf, n, t0)
-        bits = _decode_values(val_buf, n, v0)
+        ts = _decode_timestamps(tctrl_buf, tpay_buf, n, t0)
+        bits = _decode_values(ctrl_buf, hdr_buf, pay_buf, n, v0, nblk)
     else:
         ts = np.array([t0], dtype=np.int64)
         bits = np.array([v0], dtype=np.uint64)

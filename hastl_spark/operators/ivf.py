@@ -32,10 +32,13 @@ def train_centroids(embeddings: DataFrame, dim: int, n_lists: int = 16,
     """Seeded mini k-means on a driver-side sample. Returns [n_lists, dim]
     L2-normalized centroids (cosine cells).
 
-    The sample is the ``sample`` lowest-id vectors (orderBy + limit =
-    TakeOrdered, one pass, no full sort) so training is deterministic on a
-    real multi-executor cluster, not just in local mode."""
-    pdf = (embeddings.select(id_col, vec_col).orderBy(id_col)
+    The sample is the ``sample`` vectors with the lowest ``xxhash64(id)``
+    (orderBy + limit = TakeOrdered, one pass, no full sort): deterministic
+    on a real multi-executor cluster AND unbiased — ordering by the raw id
+    would train on the corpus head, which is content-correlated in
+    time-ordered corpora (round-3 review finding)."""
+    pdf = (embeddings.select(id_col, vec_col)
+           .orderBy(F.xxhash64(F.col(id_col).cast("string")))
            .limit(sample).toPandas())
     X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)

@@ -1,10 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The decode/resize/frame-sample stages are STUBBED behind deterministic
-fakes (this container has no image/audio libraries) — the Spark-side
-contract (schema, batch shape, partitioning, UDF signature) is real and
-tested; swapping in a real decoder is a one-function change.
+Real decoding IS exercised in-sandbox: PNG and WAV payloads decode through
+the pure-stdlib codecs in ``mediacodec.py`` (zlib inflate + un-filter;
+RIFF/PCM-16) — PIL, when importable, takes precedence for images since it
+covers more formats. Payloads that are neither (or corrupt) fall back to a
+deterministic fake projection, which is also what the DuckDB oracle pins
+(a real corpus always contains undecodable blobs; the fallback keeps the
+pipeline total). resize/frame-sample remain stubbed byte-slices — the
+Spark-side contract (schema, batch shape, partitioning, UDF signature) is
+the tested surface there.
 """
 
 from __future__ import annotations
@@ -26,11 +31,11 @@ FEATURE_SCHEMA = (
     "thumb_w int, thumb_h int"
 )
 
-def _probe_decoders() -> bool:
-    """Auto-detect real media libraries at import: PIL for images (av for
-    video is probed by its own seam). The sandbox container ships neither,
-    so the deterministic fake is the offline path — but an environment WITH
-    the libs gets real decoding with no code change (probed, not assumed)."""
+def _probe_pil() -> bool:
+    """Auto-detect PIL at import: when importable it handles every image
+    format; otherwise the stdlib PNG/WAV codecs (mediacodec.py) carry the
+    real-decode path — probed, not assumed, so an environment WITH PIL
+    gets it with no code change."""
     try:
         import PIL.Image  # noqa: F401
         return True
@@ -38,7 +43,10 @@ def _probe_decoders() -> bool:
         return False
 
 
-HAVE_REAL_DECODERS = _probe_decoders()
+HAVE_PIL = _probe_pil()
+# stdlib PNG/WAV decoders are always present, so real decoding is always
+# available for those formats; HAVE_PIL widens coverage to other formats
+HAVE_REAL_DECODERS = True
 
 
 def _fake_decode_features(payload: bytes, dim: int = 8) -> np.ndarray:
@@ -55,20 +63,41 @@ def _fake_decode_features(payload: bytes, dim: int = 8) -> np.ndarray:
 
 
 def _real_decode_features(payload: bytes, dim: int = 8) -> np.ndarray:
-    """Real decode path (used when PIL imports): decode the image, resize to
-    a dim-pixel strip, emit per-strip channel means — same shape/type
-    contract as the fake, so the Spark plumbing is identical. Non-image or
-    undecodable payloads fall back to the deterministic fake (a corpus at
-    scale always contains corrupt blobs; failing the task on one is wrong)."""
+    """Real decode path: PIL when importable (any image format), else the
+    stdlib PNG/WAV codecs — decode to pixels/samples, reduce to ``dim``
+    per-strip means. Same shape/type contract as the fake, so the Spark
+    plumbing is identical. Undecodable payloads fall back to the
+    deterministic fake (a corpus at scale always contains corrupt blobs;
+    failing the task on one is wrong)."""
     import io
 
-    try:
-        from PIL import Image
+    if HAVE_PIL:
+        try:
+            from PIL import Image
 
-        img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, 1))
-        return np.asarray(img, dtype=np.float32).reshape(-1)[:dim]
+            img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, 1))
+            return np.asarray(img, dtype=np.float32).reshape(-1)[:dim]
+        except Exception:
+            pass
+    try:
+        from . import mediacodec
+
+        kind = mediacodec.sniff(bytes(payload))
+        if kind == "png":
+            # luma image -> dim vertical strips -> per-strip mean
+            g = mediacodec.png_luma(mediacodec.decode_png(bytes(payload)))
+            strips = np.array_split(g.mean(axis=0, dtype=np.float64), dim)
+            return np.array([s.mean() if len(s) else 0.0 for s in strips],
+                            dtype=np.float32)
+        if kind == "wav":
+            s, _rate = mediacodec.decode_wav(bytes(payload))
+            mono = s.astype(np.float64).mean(axis=1)
+            chunks = np.array_split(mono, dim)
+            return np.array([c.mean() if len(c) else 0.0 for c in chunks],
+                            dtype=np.float32)
     except Exception:
-        return _fake_decode_features(payload, dim)
+        pass
+    return _fake_decode_features(payload, dim)
 
 
 def extract_features(media: DataFrame, dim: int = 8, thumb: int = 64,

@@ -140,7 +140,10 @@ def run_pipeline(
             import datetime
 
             bsec = kw.get("bucket_seconds", 60)
-            halo = kw.get("halo_buckets") or default_halo_buckets(
+            # 'is None', not 'or': an explicit halo_buckets=0 must make the
+            # touched-chunk set match the halo stl_gapfill actually applies
+            halo = kw.get("halo_buckets")
+            halo = halo if halo is not None else default_halo_buckets(
                 kw.get("n_p", 52),
                 **{k: v for k, v in kw.items()
                    if k in ("q_s", "d_s", "jump_s", "jump_t", "jump_l",
@@ -240,7 +243,18 @@ def run_pipeline(
                           ["source", "tier", "chunk_start"],
                           part_spec=CHUNK_SPEC)
         anchored = chunk_seconds is not None
-        inc_chunks = anchored and incremental_gapfill and t_ch.exists()
+        # chunking-discipline guard (round-3 ADVICE): anchored and row-count
+        # runs produce DIFFERENT chunk_start keys under the same CHUNK_SPEC,
+        # so switching disciplines over existing history would leave stale
+        # overlapping chunks that duplicate points on decode. The discipline
+        # is recorded as a table property; on a switch we force a FULL
+        # re-encode published as an overwrite snapshot (stale partitions
+        # dropped), never an incremental keyed merge.
+        discipline = "anchored" if anchored else "rowcount"
+        prev_disc = t_ch.prop("chunking") if t_ch.exists() else None
+        migrate_chunks = prev_disc is not None and prev_disc != discipline
+        inc_chunks = (anchored and incremental_gapfill and t_ch.exists()
+                      and not migrate_chunks)
         gap_src = gap_for_chunks.get("df")
         if gap_src is None:
             gap_src = t_gap.read(spark)
@@ -298,9 +312,17 @@ def run_pipeline(
         # partitions (plans/retention.py) either way.
         if inc_chunks:
             metrics["chunk_windows_recomputed"] = n_windows
-        metrics["chunks"] = t_ch.merge_upsert(spark, chunks,
-                                              watermark_col="chunk_end",
-                                              replace_partitions=not anchored)
+        if migrate_chunks:
+            metrics["chunks_discipline_migration"] = {
+                "from": prev_disc, "to": discipline}
+            metrics["chunks"] = t_ch.overwrite(
+                spark, chunks, watermark_col="chunk_end",
+                props={"chunking": discipline})
+        else:
+            metrics["chunks"] = t_ch.merge_upsert(
+                spark, chunks, watermark_col="chunk_end",
+                replace_partitions=not anchored,
+                props={"chunking": discipline})
         t0 = _mark("chunks", t0)
 
     cur_1m.unpersist()

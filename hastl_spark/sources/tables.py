@@ -132,6 +132,14 @@ class KeyedTable:
     def snapshot(self) -> int:
         return self._load()["snapshot"]
 
+    def prop(self, key: str, default=None):
+        """Table property from the manifest (Iceberg table-properties
+        stand-in). Writers pass ``props=`` to merge_upsert/overwrite; used
+        to record invariants of HOW the table's content was produced (e.g.
+        the Gorilla chunking discipline) so a later writer with different
+        assumptions can fail fast or migrate instead of silently mixing."""
+        return self._load().get("props", {}).get(key, default)
+
     def watermark(self, partition: str):
         return self._load()["watermarks"].get(partition)
 
@@ -227,7 +235,8 @@ class KeyedTable:
     def merge_upsert(self, spark: SparkSession, updates: DataFrame,
                      watermark_col: str | None = None,
                      replace_partitions: bool = False,
-                     keep_data: bool = False) -> dict:
+                     keep_data: bool = False,
+                     props: dict | None = None) -> dict:
         """Upsert ``updates`` by key; only partitions present in the update
         set are rewritten. Returns the lineage record.
 
@@ -358,6 +367,8 @@ class KeyedTable:
         man["partition_col"] = pc
         if self.part_spec:
             man["part_spec"] = self.part_spec
+        if props:
+            man.setdefault("props", {}).update(props)
         man["lineage"].append(record)
         self._publish(man)
         if keep_data:
@@ -371,7 +382,8 @@ class KeyedTable:
         return record
 
     def overwrite(self, spark: SparkSession, df: DataFrame,
-                  watermark_col: str | None = None) -> dict:
+                  watermark_col: str | None = None,
+                  props: dict | None = None) -> dict:
         """Replace the whole table contents with ``df`` as a new snapshot
         (same atomic publish as merge; used by retention). Partitions absent
         from ``df`` are dropped from the manifest."""
@@ -419,6 +431,8 @@ class KeyedTable:
         man["partition_col"] = pc
         if self.part_spec:
             man["part_spec"] = self.part_spec
+        if props:
+            man.setdefault("props", {}).update(props)
         man["lineage"].append(record)
         self._publish(man)
         return record

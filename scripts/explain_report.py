@@ -92,9 +92,29 @@ def main():
 
     # 4b. grouped-map balance floor: the exchange feeding the pandas UDF
     # must hash into >= 256 partitions (partitions ~ cores straggle on
-    # key-hash collisions with few keys — measured scaling killer)
+    # key-hash collisions with few keys — measured scaling killer). Parse
+    # the actual partition count: on hosts where defaultParallelism*2 > 256
+    # the exchange legitimately hashes wider than the literal floor.
+    import re
+
+    nparts = [int(m) for m in
+              re.findall(r"hashpartitioning\(source[^)]*,\s*(\d+)\)", p)]
     checks.append(("gap-fill exchange uses the 256-partition balance floor",
-                   "hashpartitioning(source" in p and ", 256)" in p))
+                   bool(nparts) and min(nparts) >= 256))
+
+    # 4b2. trend_strength operator: same floor on ITS grouped-map exchange
+    # (round-3 review: the entry file had a bare applyInPandas here)
+    from hastl_spark.operators.trend import trend_strength
+
+    tp = plan_of(trend_strength(g.select("source", "bucket", "trend",
+                                         "seasonal"), n_keys=8))
+    sections["trend_strength (grouped-map floor)"] = tp
+    tparts = [int(m) for m in
+              re.findall(r"hashpartitioning\(source[^)]*,\s*(\d+)\)", tp)]
+    checks.append(("trend_strength exchange respects the balance floor "
+                   "(>= 4x keys and >= 2x cores)",
+                   bool(tparts) and min(tparts) >= max(
+                       32, spark.sparkContext.defaultParallelism * 2)))
 
     # 4c. portable ANN: signature via ONE Arrow-batched UDF, band keys as
     # codegen bit ops (not n_bits interpreted Catalyst folds)

@@ -73,6 +73,14 @@ def test_chunked_approximates_unchunked_on_gappy_grid(spark):
                                    err_msg=col)
         # and the bulk is much tighter than the worst case
         assert np.percentile(np.abs(a[both] - b[both]), 95) < 0.02, col
+    # the headline number: at GAP positions (where gapfilled is imputed,
+    # not passthrough) the chunked-vs-global divergence at the default
+    # halo is bounded — max |delta gapfilled| < 0.15 on the amplitude-2
+    # fixture, i.e. < 7.5% of signal amplitude
+    gaps = ~obs
+    dg = np.abs(chunked["gapfilled"].values[gaps]
+                - base["gapfilled"].values[gaps])
+    assert np.nanmax(dg) < 0.15 and np.nanmean(dg) < 0.01
 
 
 def test_chunked_task_bound_respected(spark):

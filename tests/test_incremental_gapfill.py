@@ -111,6 +111,45 @@ def test_gorilla_chunks_time_anchored(spark):
 
 
 @pytest.mark.slow
+def test_chunking_discipline_switch_drops_stale_chunks(spark, tmp_path):
+    """Switching an existing chunks table from row-count to time-anchored
+    chunking (or back) must NOT leave stale overlapping chunks behind: the
+    discipline is a table property, and a switch forces a full re-encode
+    published as an overwrite snapshot (round-3 ADVICE)."""
+    CS = {"1m": 86400, "1h": 365 * 86400, "1d": 3650 * 86400,
+          "gapfill_1m": 86400}
+    seqs = _seqs(spark)
+    out = str(tmp_path / "switch")
+    run_pipeline(spark, seqs, out, check_invariant=False,
+                 stl_kwargs={k: v for k, v in STL_KW.items()})
+    ch_t = KeyedTable(f"{out}/chunks", ["source", "tier", "chunk_start"])
+    assert ch_t.prop("chunking") == "rowcount"
+    n_rowcount = ch_t.read(spark).count()
+
+    m2 = run_pipeline(spark, seqs, out, check_invariant=False,
+                      stl_kwargs=dict(STL_KW), incremental_gapfill=True,
+                      chunk_seconds=CS)
+    assert m2["chunks_discipline_migration"] == {"from": "rowcount",
+                                                "to": "anchored"}
+    assert ch_t.prop("chunking") == "anchored"
+    after = ch_t.read(spark).toPandas()
+    # the anchored 1m tier has one chunk per (source, day-window): any
+    # surviving row-count chunk would add overlapping rows beyond that
+    assert len(after[after.tier == "1m"]) == 2 * N_DAYS
+    # total decoded points must equal the tier sizes exactly (no dupes):
+    # compare per-tier point sums against a fresh anchored-only run
+    fresh = str(tmp_path / "fresh")
+    run_pipeline(spark, seqs, fresh, check_invariant=False,
+                 stl_kwargs=dict(STL_KW), chunk_seconds=CS)
+    f_t = KeyedTable(f"{fresh}/chunks", ["source", "tier", "chunk_start"])
+    a = after.groupby("tier").n_points.sum().sort_index()
+    b = (f_t.read(spark).toPandas().groupby("tier").n_points.sum()
+         .sort_index())
+    assert (a == b).all()
+    assert n_rowcount > 0  # the first run really had row-count chunks
+
+
+@pytest.mark.slow
 def test_incremental_anchored_chunks_rewrite_only_touched_windows(spark, tmp_path):
     """Time-anchored chunk tables + incremental run: only windows
     intersecting the touched days re-encode; table state equals a full

@@ -44,6 +44,41 @@ def test_ivf_recall_against_exact(spark, embs):
     assert hits / 50 >= 0.7  # probing half the cells on clustered data
 
 
+def test_ivf_training_unbiased_under_id_order(spark):
+    """Ids correlating with content (time-ordered corpora) must not bias
+    training: the sample orders by xxhash64(id), not raw id. Fixture: two
+    well-separated clusters where ALL low ids are cluster A — a head-of-
+    corpus sample would train on A only and recall on B queries collapses."""
+    rng = np.random.default_rng(3)
+    dim, n_half = 16, 300
+    a = rng.normal(0, 0.05, (n_half, dim)) + np.eye(dim)[0] * 2
+    b = rng.normal(0, 0.05, (n_half, dim)) + np.eye(dim)[1] * 2
+    rows = [(i, v.tolist()) for i, v in enumerate(a)] + \
+           [(n_half + i, v.tolist()) for i, v in enumerate(b)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # sample smaller than cluster A: lowest-id sampling would never see B
+    C = train_centroids(df, dim=dim, n_lists=4, sample=200)
+    # both clusters must be represented among the centroids (head-biased
+    # training puts all 4 in A; B then crams into whichever A-cell is
+    # nearest — a skew/imbalance failure at scale)
+    ca = a.mean(axis=0) / np.linalg.norm(a.mean(axis=0))
+    cb = b.mean(axis=0) / np.linalg.norm(b.mean(axis=0))
+    assert (C @ ca > 0.9).any() and (C @ cb > 0.9).any()
+    cells = ivf_index(df, C).groupBy("cell").count().toPandas()
+    assert cells["count"].max() <= 1.5 * n_half  # no single dominant cell
+    # and recall stays healthy on the high-id (cluster B) queries
+    exact = brute_force_topk(df, df.filter(f"vec_id >= {2 * n_half - 5}"),
+                             k=5).toPandas()
+    approx = ivf_topk(df, df.filter(f"vec_id >= {2 * n_half - 5}"), C,
+                      k=5, n_probe=2).toPandas()
+    hits = 0
+    for q in exact.query_id.unique():
+        e = set(exact[exact.query_id == q].neighbor_id)
+        ap = set(approx[approx.query_id == q].neighbor_id)
+        hits += len(e & ap)
+    assert hits / 25 >= 0.9
+
+
 def test_ivf_full_probe_equals_exact(spark, embs):
     # probing ALL cells makes IVF exhaustive -> identical to brute force
     C = train_centroids(embs, dim=64, n_lists=4)

@@ -1,11 +1,28 @@
-"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the full
+"""Benchmark harness: ALL driver-contract queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the full
 rollup + STL-gapfill + Gorilla pipeline over the deterministic synthetic
 ``sequences`` table (cached under .bench_data/ — generation is not timed).
 
+Noise control (this host's capacity drifts minute-to-minute; a single-shot
+bench misstated round 3 by 1.5x): every query is timed
+$SPARK_GRAFT_REPEAT times (default 3) in INTERLEAVED rounds — the full
+query list runs end-to-end, then again — so one contended window can't
+poison all of a query's samples. The headline per-query number is the MIN
+(least-interference sample); medians ride alongside so variance is visible
+in the artifact.
+
 Prints ONE JSON line:
-  {"metric": "...", "value": <total query sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "pipeline": {...}}
+  {"metric": "...", "value": <sum of per-query mins>, "unit": "sec",
+   "queries": {name: min_sec, ...}, "queries_median": {...}, "repeat": k,
+   "sf": ..., "pipeline": {...}, "efficiency": <scaling efficiency>,
+   "efficiency_meta": {...provenance...}}
+
+The `efficiency` field is the north_rule's N->4N scaling-efficiency
+number. Measuring it takes two spark-submit jobs over the 56M-row scaling
+input (~10 min), so by default the LAST recorded measurement
+(BENCH/scaling_last.json, written by scripts/scaling_bench.py) is embedded
+with its timestamp/protocol; set SPARK_GRAFT_SCALING=1 to re-measure
+inline (one paired local[2]/local[8] run).
 """
 
 from __future__ import annotations
@@ -13,32 +30,65 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
+import subprocess
 import sys
 import time
 
 HEADLINE = [
     "rollup_1m", "rollup_1h", "rollup_1d", "densify_1h", "top_users",
-    "sessions", "lineitem_pricing", "revenue_by_nation",
-    "docs_stats", "docs_quality", "docs_tokens_bpe", "docs_exact_dedup",
-    "docs_jaccard_pairs",
-    "embeddings_knn", "ann_topk", "ivf_topk_full", "embedding_near_dups",
-    "minhash_pairs", "simhash_portable",
-    "stl_gapfill_1h", "loess_smooth_1h", "gorilla_roundtrip_1h", "trend_strength",
+    "dow_profile", "sessions", "lineitem_pricing", "revenue_by_nation",
+    "docs_stats", "docs_quality", "docs_lang", "docs_tokens_bpe",
+    "docs_scrubbed", "docs_exact_dedup", "docs_jaccard_pairs",
+    "dup_groups", "minhash_portable", "minhash_pairs", "simhash_portable",
+    "embedding_near_dups", "fingerprints_portable",
+    "embeddings_knn", "embeddings_quantized", "label_centroid_norm",
+    "ann_topk", "ivf_topk_full",
+    "media_features",
+    "stl_gapfill_1h", "loess_smooth_1h", "gorilla_roundtrip_1h",
+    "trend_strength",
 ]
 
 PIPELINE_SCALE = os.environ.get("SPARK_GRAFT_PIPE_SCALE", "small")
+ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def load_or_measure_efficiency() -> dict | None:
+    """north_rule scaling efficiency: measure inline when asked, else embed
+    the latest recorded measurement with provenance."""
+    if os.environ.get("SPARK_GRAFT_SCALING"):
+        runs = os.environ.get("SPARK_GRAFT_SCALING_RUNS", "1")
+        subprocess.run(
+            [sys.executable, os.path.join(ROOT, "scripts", "scaling_bench.py"),
+             "--paired", "--runs", runs, "--low", "2", "--high", "8"],
+            capture_output=True, text=True, timeout=7200, check=True)
+    p = os.path.join(ROOT, "BENCH", "scaling_last.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        sl = json.load(f)
+    return {
+        "value": sl.get("scaling_efficiency"),
+        "low_cpus": sl.get("low_cpus"),
+        "high_cpus": sl.get("high_cpus"),
+        "scale": sl.get("scale"),
+        "protocol": sl.get("protocol", "sequential-min"),
+        "hardware_ceiling": sl.get("hardware_ceiling"),
+        "measured_at": sl.get("measured_at"),
+    }
 
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_REPEAT", "3")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, ROOT)
     import __spark_entry__ as entrymod
     from hastl_spark.plans.rollup_job import run_pipeline
     from hastl_spark.session import get_spark
-    from hastl_spark.sources.sequences import SCALES, generate_scale
+    from hastl_spark.sources.sequences import generate_scale
 
     spark = get_spark(cpus, app_name="hastl-bench")
     qs = entrymod.queries()
@@ -46,40 +96,49 @@ def main():
     # warm the JVM/Python-worker pools once (not timed per-query)
     qs["rollup_1m"](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(repeat):
+        for name in HEADLINE:
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            samples[name].append(round(time.time() - t0, 3))
+    timings = {n: min(v) for n, v in samples.items()}
+    medians = {n: round(statistics.median(v), 3) for n, v in samples.items()}
 
     # ---- synthetic-sequences pipeline (points/sec is the north metric) ----
     # stage on tmpfs when available: the sandbox block device throttles under
     # sustained load and would dominate the measurement (see BENCH/BASELINE.md)
-    root = os.path.dirname(os.path.abspath(__file__))
     if os.path.isdir("/dev/shm"):
         data_root = "/dev/shm/hastl_bench"
         os.makedirs(data_root, exist_ok=True)
     else:
-        data_root = os.path.join(root, ".bench_data")
+        data_root = os.path.join(ROOT, ".bench_data")
     seq_path = os.path.join(data_root, f"sequences_{PIPELINE_SCALE}")
     if not os.path.exists(os.path.join(seq_path, "_SUCCESS")):
         generate_scale(spark, PIPELINE_SCALE).write.mode("overwrite").parquet(seq_path)
     seqs = spark.read.parquet(seq_path)
     tokens_scanned = seqs.selectExpr("sum(n_tok)").collect()[0][0]
 
-    out_dir = os.path.join(data_root, f"tiers_{PIPELINE_SCALE}")
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
-    metrics = run_pipeline(spark, seqs, out_dir, check_invariant=False)
-    pipe_wall = time.time() - t0
-    pts = metrics["summary"]["rolled_up_points"]
+    pipe_walls = []
+    pts = 0
+    for i in range(repeat):
+        out_dir = os.path.join(data_root, f"tiers_{PIPELINE_SCALE}")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        metrics = run_pipeline(spark, seqs, out_dir, check_invariant=False)
+        pipe_walls.append(time.time() - t0)
+        pts = metrics["summary"]["rolled_up_points"]
+    pipe_wall = min(pipe_walls)
 
+    eff = load_or_measure_efficiency()
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "repeat": repeat,
         "sf": sf,
         "pipeline": {
             "scale": PIPELINE_SCALE,
@@ -87,11 +146,16 @@ def main():
             "tokens_scanned": int(tokens_scanned),
             "rolled_up_points": pts,
             "wall_s": round(pipe_wall, 3),
+            "walls_s": [round(w, 3) for w in pipe_walls],
             "points_per_sec": round(pts / pipe_wall, 1),
             "tokens_per_sec": round(tokens_scanned / pipe_wall, 1),
             "cpus": cpus,
         },
-    }))
+    }
+    if eff:
+        out["efficiency"] = eff.pop("value")
+        out["efficiency_meta"] = eff
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

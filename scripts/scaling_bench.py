@@ -213,6 +213,11 @@ def main():
     print(json.dumps(report))
 
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    # machine-readable record of the latest measurement: bench.py embeds it
+    # (with provenance) in the per-round BENCH json's `efficiency` field
+    report["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    with open(os.path.join(ROOT, "BENCH", "scaling_last.json"), "w") as f:
+        json.dump(report, f, indent=1)
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — measured numbers
 

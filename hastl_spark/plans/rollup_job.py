@@ -107,19 +107,31 @@ def run_pipeline(
         r1m = r1m_inv
     t_1m = KeyedTable(os.path.join(out_dir, "tier_1m"), ["source", "bucket"],
                       part_spec=DAY_SPEC)
-    rec = t_1m.merge_upsert(spark, r1m, watermark_col="bucket")
+    rec = t_1m.merge_upsert(spark, r1m, watermark_col="bucket",
+                            keep_data=True)
     if check_invariant:
         r1m_inv.unpersist()
+    # The maintained 1m table is consumed by THREE downstream stages
+    # (gap-fill, 1h re-rollup, chunk encode). When this run's merge covered
+    # every partition (any non-incremental run), the merge's own cached
+    # written frame IS the table — reuse it instead of re-listing and
+    # re-decoding the hundreds of freshly written partition files (a fixed
+    # serial cost that caps small-cluster scaling efficiency). Incremental
+    # runs fall back to a cached table read.
+    if rec.pop("covers_table", False):
+        cur_1m = rec.pop("data")
+    else:
+        rec.pop("data").unpersist()
+        cur_1m = t_1m.read(spark).persist()
+        cur_1m.count()
     metrics["tier_1m"] = rec
     t0 = _mark("merge_1m", t0)
-
-    # The maintained 1m table is consumed by THREE downstream stages
-    # (gap-fill, 1h re-rollup, chunk encode) — cache the read and
-    # materialize it ONCE up front, so the concurrent branches below hit a
-    # filled cache instead of racing to compute it.
-    cur_1m = t_1m.read(spark).persist()
-    cur_1m.count()
     days = sorted({p.split(PART_SEP)[1] for p in metrics["tier_1m"]["partitions"]})
+    # source cardinality from the merge's own partition lineage: sizes the
+    # grouped-map partition floors (4x keys) in gap-fill and chunk encode
+    # instead of the blind 256-per-stage worst case
+    n_sources = len({p.split(PART_SEP)[0]
+                     for p in metrics["tier_1m"]["partitions"]}) or None
     t_gap = KeyedTable(os.path.join(out_dir, "gapfill_1m"), ["source", "bucket"],
                        part_spec=DAY_SPEC)
     gap_for_chunks: dict = {}
@@ -131,6 +143,10 @@ def run_pipeline(
         # days' files. Exactness caveat: chunked STL matches the global fit
         # exactly on dense grids only (see operators/gapfill.py docstring).
         kw = dict(stl_kwargs or {})
+        if not kw.get("chunk_buckets"):
+            # chunked mode's group keys are (source x chunk) — more than
+            # n_sources — so the cardinality hint applies only unchunked
+            kw.setdefault("n_keys", n_sources)
         if incremental_gapfill and t_gap.exists():
             from hastl_spark.operators.gapfill import (default_halo_buckets,
                                                        touched_chunk_ids)
@@ -268,8 +284,12 @@ def run_pipeline(
         }
         parts = []
         n_windows = {}
+        # the chunk encoders' grouped-map key is `source` (cardinality from
+        # the merge lineage, hoisted above): floor = 4x keys instead of the
+        # blind 256 — 4 tiers x 256 mostly-empty tasks is pure scheduling
+        # overhead on small source counts
         for tier, (tdf, vcol) in tier_srcs.items():
-            kw = {}
+            kw = {"n_keys": n_sources}
             if anchored:
                 W = int(chunk_seconds[tier])
                 kw["chunk_seconds"] = W

@@ -97,8 +97,12 @@ def main():
     # the exchange legitimately hashes wider than the literal floor.
     import re
 
-    nparts = [int(m) for m in
-              re.findall(r"hashpartitioning\(source[^)]*,\s*(\d+)\)", p)]
+    # only the EXPLICIT repartition (REPARTITION_BY_NUM) is the floor
+    # exchange; upstream aggregation exchanges legitimately use
+    # spark.sql.shuffle.partitions
+    _floor_re = (r"hashpartitioning\(source[^)]*,\s*(\d+)\),\s*"
+                 r"REPARTITION_BY_NUM")
+    nparts = [int(m) for m in re.findall(_floor_re, p)]
     checks.append(("gap-fill exchange uses the 256-partition balance floor",
                    bool(nparts) and min(nparts) >= 256))
 
@@ -109,8 +113,7 @@ def main():
     tp = plan_of(trend_strength(g.select("source", "bucket", "trend",
                                          "seasonal"), n_keys=8))
     sections["trend_strength (grouped-map floor)"] = tp
-    tparts = [int(m) for m in
-              re.findall(r"hashpartitioning\(source[^)]*,\s*(\d+)\)", tp)]
+    tparts = [int(m) for m in re.findall(_floor_re, tp)]
     checks.append(("trend_strength exchange respects the balance floor "
                    "(>= 4x keys and >= 2x cores)",
                    bool(tparts) and min(tparts) >= max(

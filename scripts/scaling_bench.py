@@ -64,6 +64,39 @@ def cpu_calibration(low: int, high: int) -> dict:
     return out
 
 
+def _triad(_):
+    """STREAM-triad-ish: ~80MB working set, far beyond LLC share."""
+    import numpy as np
+
+    n = 10_000_000
+    a = np.zeros(n)
+    b = np.random.default_rng(1).random(n)
+    c = np.random.default_rng(2).random(n)
+    t_end = time.time() + 3
+    it = 0
+    while time.time() < t_end:
+        np.add(b, c, out=a)
+        a *= 1.0000001
+        it += 1
+    return it
+
+
+def membw_calibration(low: int, high: int) -> dict:
+    """Aggregate memory bandwidth at N processes. A tmpfs-input Spark scan
+    (read + snappy decode + hash agg) is RAM-traffic-bound, so when this
+    ratio collapses (high ~ low), the HOST cannot express scan scaling in
+    that window, whatever the engine does — the register-bound CPU
+    calibration alone misses this failure mode."""
+    out = {}
+    for n in (low, high):
+        with mp.Pool(n) as p:
+            t0 = time.time()
+            res = p.map(_triad, range(n))
+        out[n] = round(sum(res) / (time.time() - t0), 1)
+    out["ceiling"] = round(out[high] / out[low] / (high / low), 3)
+    return out
+
+
 def build_zip() -> str:
     os.makedirs(WORKDIR, exist_ok=True)
     zpath = os.path.join(WORKDIR, "engine.zip")
@@ -134,6 +167,10 @@ def run_config(zpath: str, seq_path: str, cpus: int, runs: int) -> dict:
         "median_wall_s": statistics.median(walls),
         "rolled_up_points": res["rolled_up_points"],
         "points_per_sec_min": round(res["rolled_up_points"] / min(walls), 1),
+        # per-stage walls of the min run: the Amdahl decomposition — which
+        # stage stops scaling shows up as a flat wall across core counts
+        "stage_walls": res.get("stage_walls", [None])[
+            walls.index(min(walls))] if res.get("stage_walls") else None,
     }
 
 
@@ -153,6 +190,8 @@ def main():
 
     calib = cpu_calibration(args.low, args.high)
     print("cpu calibration:", json.dumps(calib), flush=True)
+    membw = membw_calibration(args.low, args.high)
+    print("membw calibration:", json.dumps(membw), flush=True)
 
     zpath = build_zip()
     seq_path = gen_input(args.scale)
@@ -171,6 +210,8 @@ def main():
                 "low_wall_s": lo_r["min_wall_s"],
                 "speedup": round(ratio, 3),
                 "efficiency": round(ratio / (args.high / args.low), 3),
+                "high_stage_walls": hi_r.get("stage_walls"),
+                "low_stage_walls": lo_r.get("stage_walls"),
             })
             hi_walls.append(hi_r["min_wall_s"])
             lo_walls.append(lo_r["min_wall_s"])
@@ -203,6 +244,7 @@ def main():
         "speedup_min": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
         "hardware_ceiling": calib["ceiling"],
+        "membw_ceiling": membw["ceiling"],
         "efficiency_vs_hardware_ceiling": round(eff / calib["ceiling"], 3),
     }
     if pairs:

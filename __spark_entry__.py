@@ -361,6 +361,20 @@ def q_media_features(spark, sf_dir):
     ).withColumn("feat_v", F.round(F.col("feat_v").cast("double"), 4))
 
 
+def q_media_real_decode(spark, sf_dir):
+    """REAL media decode, value-checked: actual PNG (zlib inflate + all
+    five un-filter branches, gray + gray+alpha) and actual WAV (RIFF/PCM-16)
+    payloads are synthesized from closed-form pixel/sample patterns inside
+    one Arrow stage, decoded by the pure-stdlib codecs in a second Arrow
+    stage, and reduced to exact integer luma/sample statistics the oracle
+    recomputes analytically in SQL — so a single flipped bit anywhere in
+    deflate/filter/struct handling breaks the hash."""
+    from hastl_spark.operators.multimodal import (real_decode_stats,
+                                                  synthetic_real_media)
+
+    return real_decode_stats(synthetic_real_media(spark, 48, 48))
+
+
 def q_loess_smooth_1h(spark, sf_dir):
     """Standalone LOESS smoothing of the hourly value series (reference
     LOESS.fit twin, loess.fut:768-811)."""
@@ -425,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints_portable": q_fingerprints_portable,
         "ivf_topk_full": q_ivf_topk_full,
         "media_features": q_media_features,
+        "media_real_decode": q_media_real_decode,
         "minhash_pairs": q_minhash_pairs,
         "ann_topk": q_ann_topk,
         # rows-only (no SQL equivalent: the STL/LOESS numeric kernels)
@@ -722,5 +737,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, kind, CAST(L AS BIGINT) AS n_bytes, pos,
                    round(CAST(CAST(mean_v AS REAL) AS DOUBLE), 4) AS feat_v
             FROM v
+        """,
+        # closed-form twin of the REAL-decode query: the Spark side encodes
+        # then decodes actual PNG/WAV payloads (synthetic_real_media /
+        # real_decode_stats); pixel (a*y+b*x+c)%256 and sample
+        # ((k*step+11*c+i2)%4001)-2000 patterns make every decoded statistic
+        # an exact integer this SQL recomputes without touching any codec.
+        "media_real_decode": """
+            WITH ids AS (SELECT unnest(generate_series(0, 95)) AS i),
+            imgs AS (
+              SELECT i, 12 + (i % 5) AS h, 16 + (i % 7) AS w,
+                     CAST(1 + (i % 2) AS INT) AS ch,
+                     3 + (i % 7) AS a, 5 + (i % 11) AS b, i % 251 AS c
+              FROM ids WHERE i < 48
+            ), px AS (
+              SELECT i, h, w, ch, ((a * p.y + b * q.x + c) % 256) AS v
+              FROM imgs,
+                   unnest(generate_series(0, CAST(h - 1 AS INT))) p(y),
+                   unnest(generate_series(0, CAST(w - 1 AS INT))) q(x)
+            ), img_stats AS (
+              SELECT 'm' || lpad(CAST(i AS VARCHAR), 6, '0') AS media_id,
+                     'image' AS kind, CAST(h AS INT) AS h, CAST(w AS INT) AS w,
+                     ch, CAST(h * w AS INT) AS n_samples,
+                     CAST(SUM(v) AS DOUBLE) AS stat_sum,
+                     CAST(MIN(v) AS DOUBLE) AS stat_min,
+                     CAST(MAX(v) AS DOUBLE) AS stat_max
+              FROM px GROUP BY i, h, w, ch
+            ), auds AS (
+              SELECT i, i - 48 AS i2, CAST(1 + ((i - 48) % 2) AS INT) AS nch,
+                     200 + ((i - 48) % 50) AS nsamp,
+                     7 + ((i - 48) % 13) AS step
+              FROM ids WHERE i >= 48
+            ), sm AS (
+              SELECT i, nch, nsamp,
+                     (((p.k * step + 11 * q.c + i2) % 4001) - 2000) AS v
+              FROM auds,
+                   unnest(generate_series(0, CAST(nsamp - 1 AS INT))) p(k),
+                   unnest(generate_series(0, CAST(nch - 1 AS INT))) q(c)
+            ), aud_stats AS (
+              SELECT 'm' || lpad(CAST(i AS VARCHAR), 6, '0') AS media_id,
+                     'audio' AS kind, 0 AS h, 0 AS w, nch AS ch,
+                     CAST(nsamp * nch AS INT) AS n_samples,
+                     CAST(SUM(v) AS DOUBLE) AS stat_sum,
+                     CAST(MIN(v) AS DOUBLE) AS stat_min,
+                     CAST(MAX(v) AS DOUBLE) AS stat_max
+              FROM sm GROUP BY i, nch, nsamp
+            )
+            SELECT * FROM img_stats UNION ALL SELECT * FROM aud_stats
         """,
     }

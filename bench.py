@@ -44,7 +44,7 @@ HEADLINE = [
     "embedding_near_dups", "fingerprints_portable",
     "embeddings_knn", "embeddings_quantized", "label_centroid_norm",
     "ann_topk", "ivf_topk_full",
-    "media_features",
+    "media_features", "media_real_decode",
     "stl_gapfill_1h", "loess_smooth_1h", "gorilla_roundtrip_1h",
     "trend_strength",
 ]

@@ -28,10 +28,13 @@ def _dump_stl_input(Y, n_p, q_s, q_t, q_l, d_s, d_t, d_l, jump_s, jump_t,
     """Reference ``STL.fit(dump=True)`` twin (hastl/stl.py:183-211): write
     the f32 input plus the canonicalized int64 parameter sequence to
     ``dump.in`` and print each parameter. The reference serializes with
-    futhark_data (used here too when importable, for byte-compatible
-    ``futhark bench`` input) and then exit()s; a library must not kill the
-    caller's process — Spark executors included — so this returns instead,
-    falling back to an .npz with the identical field set."""
+    futhark_data (used here too when importable) and then exit()s; a
+    library must not kill the caller's process — Spark executors included —
+    so this returns instead. Without futhark_data (not installable in this
+    offline container) the fallback is ``hastl_spark.futharkdata`` — the
+    Futhark binary data format v2 implemented from its public spec, so the
+    identical field sequence is still directly consumable by
+    ``futhark bench`` / compiled Futhark binaries."""
     Y_32 = np.asarray(Y).astype(np.float32)
     p = canonicalize_stl_params(Y_32.shape[-1], n_p, q_s, q_t=q_t, q_l=q_l,
                                 d_s=d_s, d_t=d_t, d_l=d_l, jump_s=jump_s,
@@ -56,12 +59,13 @@ def _dump_stl_input(Y, n_p, q_s, q_t, q_l, d_s, d_t, d_l, jump_s, jump_t,
                 print(f"{name}: {par}")
                 futhark_data.dump(np.int64(par), f)
     except ImportError:
-        arrays = {"Y": Y_32}
-        for par, name in params:
-            print(f"{name}: {par}")
-            arrays[name] = np.int64(par)
-        with open(path, "wb") as f:  # np.savez(str) would append .npz
-            np.savez(f, **arrays)
+        from . import futharkdata
+
+        with open(path, "wb") as f:
+            futharkdata.dump(Y_32, f)
+            for par, name in params:
+                print(f"{name}: {par}")
+                futharkdata.dump(np.int64(par), f)
 
 
 class STL:

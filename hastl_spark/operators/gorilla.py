@@ -86,18 +86,25 @@ def _ctz64(v: np.ndarray) -> np.ndarray:
 
 
 def _pack_tokens(vals: np.ndarray, lens: np.ndarray) -> bytes:
-    """Pack each vals[i]'s lowest lens[i] bits, MSB-first, into bytes."""
+    """Pack each vals[i]'s lowest lens[i] bits, MSB-first, into bytes.
+
+    Work is O(total emitted bits): the flat bit array is built directly via
+    repeat + cumsum offsets (global bit p of token t shifts by
+    off[t]+lens[t]-1-p). The earlier n x 64 shift-matrix cost 64 bits of
+    temporaries per token regardless of length — ~30x waste for the 1-2
+    bit control streams that dominate token counts."""
     vals = vals.astype(np.uint64)
     lens = lens.astype(np.int64)
     keep = lens > 0
     vals, lens = vals[keep], lens[keep]
     if len(vals) == 0:
         return b""
-    sh = lens[:, None] - 1 - np.arange(64, dtype=np.int64)[None, :]
-    take = sh >= 0
-    bits = ((vals[:, None] >> np.maximum(sh, 0).astype(np.uint64)) & _U64(1)).astype(np.uint8)
-    flat = bits[take]
-    pad = (-len(flat)) % 8
+    end = np.cumsum(lens)  # exclusive end bit of each token
+    total = int(end[-1])
+    tid = np.repeat(np.arange(len(vals), dtype=np.int64), lens)
+    sh = (end[tid] - 1 - np.arange(total, dtype=np.int64)).astype(np.uint64)
+    flat = ((vals[tid] >> sh) & _U64(1)).astype(np.uint8)
+    pad = (-total) % 8
     if pad:
         flat = np.concatenate([flat, np.zeros(pad, dtype=np.uint8)])
     return np.packbits(flat).tobytes()
@@ -150,15 +157,26 @@ def _encode_values(bits: np.ndarray):
     nz = np.flatnonzero(xor != 0)
     # sequential walk over BLOCK CHANGES only: a point reuses the current
     # block iff lz >= cur_lz and tz >= cur_tz, else opens a new block ('11').
+    # The next violation is found by GALLOPING (doubling windows), so the
+    # total cost is O(n + blocks * log) — noisy series whose mantissa
+    # entropy opens a block almost every point (e.g. integer count series
+    # under float64 XOR) would make a scan-the-rest search quadratic.
+    lz_nz, tz_nz = lz[nz], tz[nz]
     new_block = np.zeros(len(nz), dtype=bool)
-    i = 0
-    while i < len(nz):
+    i, N = 0, len(nz)
+    while i < N:
         new_block[i] = True
-        cur_lz, cur_tz = lz[nz[i]], tz[nz[i]]
-        rest = nz[i + 1:]
-        viol = (lz[rest] < cur_lz) | (tz[rest] < cur_tz)
-        nxt = np.argmax(viol) if viol.any() else len(rest)
-        i += 1 + int(nxt)
+        cur_lz, cur_tz = lz_nz[i], tz_nz[i]
+        j, step, nxt = i + 1, 64, N
+        while j < N:
+            hi = min(j + step, N)
+            seg = (lz_nz[j:hi] < cur_lz) | (tz_nz[j:hi] < cur_tz)
+            k = int(np.argmax(seg))
+            if seg[k]:  # j < hi, so seg is never empty
+                nxt = j + k
+                break
+            j, step = hi, step * 2
+        i = nxt
 
     nb = nz[new_block]
     rb = nz[~new_block]

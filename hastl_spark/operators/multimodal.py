@@ -205,6 +205,98 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     return media.mapInPandas(fn, FRAME_SCHEMA)
 
 
+REAL_STATS_SCHEMA = (
+    "media_id string, kind string, h int, w int, ch int, n_samples int, "
+    "stat_sum double, stat_min double, stat_max double"
+)
+
+
+def synthetic_real_media(spark, n_images: int = 48,
+                         n_audio: int = 48) -> DataFrame:
+    """Deterministic REAL media payloads: actual PNG files (zlib-deflated,
+    per-row filters cycling through all five types, gray and gray+alpha)
+    and actual RIFF/PCM-16 WAV files, built from closed-form pixel/sample
+    patterns so their decoded statistics are analytically computable in
+    pure SQL — the oracle for the real-decode seam.
+
+    image i in [0, n_images):  h=12+i%5, w=16+i%7, ch=1+i%2,
+      pixel(y,x) = (a*y + b*x + c) % 256 with a=3+i%7, b=5+i%11, c=i%251
+      (every channel carries the same value; luma == channel 0).
+    audio j, i2 = j - n_images:  nch=1+i2%2, nsamp=200+i2%50,
+      sample(k,c) = ((k*(7+i2%13) + 11*c + i2) % 4001) - 2000.
+    """
+    from collections.abc import Iterator as _It  # noqa: F401
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import mediacodec
+
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for raw_i in pdf["id"]:
+                i = int(raw_i)
+                if i < n_images:
+                    h, w, ch = 12 + i % 5, 16 + i % 7, 1 + i % 2
+                    a, b, c = 3 + i % 7, 5 + i % 11, i % 251
+                    y, x = np.mgrid[0:h, 0:w]
+                    luma = (a * y + b * x + c) % 256
+                    img = np.repeat(luma[:, :, None], ch, axis=2).astype(np.uint8)
+                    payloads.append(mediacodec.encode_png(
+                        img, filters=(np.arange(h) + i) % 5))
+                    kinds.append("image")
+                else:
+                    i2 = i - n_images
+                    nch, nsamp = 1 + i2 % 2, 200 + i2 % 50
+                    k, cth = np.mgrid[0:nsamp, 0:nch]
+                    s = ((k * (7 + i2 % 13) + 11 * cth + i2) % 4001) - 2000
+                    payloads.append(mediacodec.encode_wav(
+                        s.astype(np.int16), rate=8000))
+                    kinds.append("audio")
+                ids.append(f"m{i:06d}")
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads})
+
+    return spark.range(n_images + n_audio).mapInPandas(
+        gen, "media_id string, kind string, payload binary")
+
+
+def real_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL decode -> exact integer statistics (no fake fallback, no
+    rounding): PNG payloads inflate + un-filter to pixels and report luma
+    sum/min/max over the full image; WAV payloads parse to int16 samples
+    and report sum/min/max over all channels. Sums of <=2^20 values
+    bounded by 2^15 are exact in float64, so the driver's value-hash
+    compares closed-form SQL integers — the decode path itself is what is
+    being checked. Audio rows report h = w = 0."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import mediacodec
+
+        for pdf in batches:
+            rows = []
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"],
+                                    pdf["payload"]):
+                p = bytes(p)
+                sniffed = mediacodec.sniff(p)
+                if sniffed == "png":
+                    img = mediacodec.decode_png(p)
+                    h, w, ch = img.shape
+                    vals = mediacodec.png_luma(img).astype(np.float64).ravel()
+                    n = h * w
+                elif sniffed == "wav":
+                    s, _rate = mediacodec.decode_wav(p)
+                    vals = s.astype(np.float64).ravel()
+                    h, w, ch, n = 0, 0, s.shape[1], s.size
+                else:
+                    raise ValueError(f"undecodable payload for {mid}")
+                rows.append((mid, kind, h, w, ch, n, float(vals.sum()),
+                             float(vals.min()), float(vals.max())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "h", "w", "ch", "n_samples",
+                "stat_sum", "stat_min", "stat_max"])
+
+    return media.mapInPandas(fn, REAL_STATS_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests: payload = seeded bytes."""
     df = spark.range(n).select(

@@ -140,6 +140,9 @@ SCALES = {
     # ~320M rows: compute must dominate fixed per-job latency for the
     # scaling-efficiency measurement to mean anything
     "xl": (64, 20000, 768.0, 8, 24),
+    # ~1.0e9 rows (~38 GB parquet): the 10^9-row tokenized-sequence table
+    # named by the baseline metric, for a single-node throughput headline
+    "b1": (64, 30000, 1536.0, 8, 24),
 }
 
 

@@ -47,24 +47,67 @@ def test_tuning_file_and_backends(tmp_path, capsys):
 
 def test_fit_dump_writes_reference_field_set(tmp_path, monkeypatch, capsys):
     """STL.fit(dump=True) must produce dump.in with the reference's exact
-    field sequence (hastl/stl.py:183-211) — and RETURN (the reference
-    exit()s; a library embedded in Spark executors must not)."""
+    field sequence (hastl/stl.py:183-211) in the Futhark binary data
+    format (futharkdata.py implements the public v2 spec, so the file is
+    consumable by ``futhark bench``) — and RETURN (the reference exit()s;
+    a library embedded in Spark executors must not)."""
+    from hastl_spark import futharkdata
+
     monkeypatch.chdir(tmp_path)
     y = gen_harmonic(out_len=300, n_p=24, nan_frac=0.0, seed=9).astype(np.float32)
     stl = STL(backend="c")
     s, t, r = stl.fit_1d(y, n_p=24, q_s=13, d_s=0, dump=True)
     assert s.shape == y.shape  # control returned and the fit still ran
     assert (tmp_path / "dump.in").exists()
-    data = np.load(tmp_path / "dump.in")
-    expect = ["Y", "n_p", "q_s", "q_t", "q_l", "d_s", "d_t", "d_l",
-              "n_jump_s", "n_jump_t", "n_jump_l", "n_inner", "n_outer",
-              "jump threshold_1", "jump threshold_2",
-              "q_threshold_1", "q_threshold_2"]
-    assert list(data.keys()) == expect
-    assert int(data["n_p"]) == 24 and int(data["q_s"]) == 13
+    with open(tmp_path / "dump.in", "rb") as f:
+        vals = futharkdata.load(f)
+    # reference stream: the f32 input array then 16 i64 parameters in the
+    # dump-loop order (stl.py:189-204)
+    assert len(vals) == 17
+    assert vals[0].dtype == np.float32 and vals[0].shape == (1, 300)
+    ints = [int(v) for v in vals[1:]]
+    assert all(np.asarray(v).dtype == np.int64 for v in vals[1:])
+    n_p, q_s = ints[0], ints[1]
+    assert n_p == 24 and q_s == 13
     # the reference's dump loop (stl.py:201) writes self.jump_threshold_1
     # UN-overridden even on the c backend (the 10^7 override at stl.py:178
     # only feeds the kernel call) — dump parity requires the ctor value
-    assert int(data["jump threshold_1"]) == 13
+    assert ints[12] == 13  # jump threshold_1
     out = capsys.readouterr().out
     assert "n_jump_s:" in out  # params printed like the reference
+
+
+def test_futharkdata_binary_format_exact_bytes_and_roundtrip(tmp_path):
+    """The writer emits the spec'd byte layout exactly (checked against a
+    hand-assembled file) and round-trips scalars + arrays of every type."""
+    import io
+
+    from hastl_spark import futharkdata
+
+    # hand-assembled per the manual: 'b', version 2, rank 2, " f32",
+    # dims 2x3 as u64le, then 6 f32le values
+    a = np.arange(6, dtype=np.float32).reshape(2, 3)
+    expect = (b"b\x02\x02 f32"
+              + (2).to_bytes(8, "little") + (3).to_bytes(8, "little")
+              + a.tobytes())
+    buf = io.BytesIO()
+    futharkdata.dump(a, buf)
+    assert buf.getvalue() == expect
+
+    buf2 = io.BytesIO()
+    futharkdata.dump(np.int64(-7), buf2)
+    assert buf2.getvalue() == b"b\x02\x00 i64" + (-7).to_bytes(8, "little",
+                                                              signed=True)
+
+    stream = io.BytesIO()
+    vals = [np.int64(42), a, np.array([True, False]),
+            np.arange(4, dtype=np.uint8), np.float64(2.5),
+            np.empty((0, 3), dtype=np.int32)]
+    for v in vals:
+        futharkdata.dump(v, stream)
+    stream.seek(0)
+    back = futharkdata.load(stream)
+    assert len(back) == len(vals)
+    for v, b in zip(vals, back):
+        assert np.asarray(b).dtype == np.asarray(v).dtype
+        assert np.array_equal(np.asarray(b), np.asarray(v))

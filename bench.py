@@ -74,6 +74,8 @@ def load_or_measure_efficiency() -> dict | None:
         "scale": sl.get("scale"),
         "protocol": sl.get("protocol", "sequential-min"),
         "hardware_ceiling": sl.get("hardware_ceiling"),
+        "membw_ceiling": sl.get("membw_ceiling"),
+        "efficiency_best_pair": sl.get("efficiency_best_pair"),
         "measured_at": sl.get("measured_at"),
     }
 

@@ -322,6 +322,15 @@ def run_pipeline(
         chunks = parts[0]
         for p in parts[1:]:
             chunks = chunks.unionByName(p)
+        # materialize the encode fan-in before the merge: chunk rows are
+        # tiny (one per source x tier x window), so the persist costs
+        # nothing and the stage wall splits into encode vs merge — the
+        # Amdahl decomposition needs to see WHICH half stops scaling
+        from pyspark import StorageLevel
+
+        chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+        metrics["n_chunks"] = chunks.count()
+        t0 = _mark("chunks_encode", t0)
         # row-count chunking: chunk sets are REGENERATED from the full tier
         # each run, and a backfill can shift 65536-point chunk boundaries
         # (new chunk_start keys overlapping stale rows) — so affected
@@ -343,7 +352,8 @@ def run_pipeline(
                 spark, chunks, watermark_col="chunk_end",
                 replace_partitions=not anchored,
                 props={"chunking": discipline})
-        t0 = _mark("chunks", t0)
+        chunks.unpersist()
+        t0 = _mark("chunks_merge", t0)
 
     cur_1m.unpersist()
     if gap_for_chunks.get("df") is not None:

@@ -202,6 +202,13 @@ def main():
         pairs = []
         hi_walls, lo_walls = [], []
         for i in range(args.runs):
+            # per-pair host calibration: this VM drifts so much that a
+            # single up-front ceiling misattributes windows — each pair
+            # carries the CPU and memory-bandwidth scaling the HOST could
+            # express while that pair ran, so a collapsed pair is
+            # distinguishable as host-bound vs engine-bound
+            pcal = cpu_calibration(args.low, args.high)
+            pmem = membw_calibration(args.low, args.high)
             hi_r = run_config(zpath, seq_path, args.high, 1)
             lo_r = run_config(zpath, seq_path, args.low, 1)
             ratio = lo_r["min_wall_s"] / hi_r["min_wall_s"]
@@ -210,6 +217,8 @@ def main():
                 "low_wall_s": lo_r["min_wall_s"],
                 "speedup": round(ratio, 3),
                 "efficiency": round(ratio / (args.high / args.low), 3),
+                "cpu_ceiling": pcal["ceiling"],
+                "membw_ceiling": pmem["ceiling"],
                 "high_stage_walls": hi_r.get("stage_walls"),
                 "low_stage_walls": lo_r.get("stage_walls"),
             })

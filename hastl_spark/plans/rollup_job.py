@@ -49,6 +49,7 @@ def run_pipeline(
     overlap: bool = True,
     incremental_gapfill: bool = False,
     chunk_seconds: dict | None = None,
+    profile_stages: bool = False,
 ) -> dict:
     """Full pipeline run. ``overlap=True`` runs the two independent
     post-1m branches — STL gap-fill and the 1h/1d tier cascade — on
@@ -322,15 +323,19 @@ def run_pipeline(
         chunks = parts[0]
         for p in parts[1:]:
             chunks = chunks.unionByName(p)
-        # materialize the encode fan-in before the merge: chunk rows are
-        # tiny (one per source x tier x window), so the persist costs
-        # nothing and the stage wall splits into encode vs merge — the
-        # Amdahl decomposition needs to see WHICH half stops scaling
-        from pyspark import StorageLevel
+        if profile_stages:
+            # materialize the encode fan-in before the merge: chunk rows
+            # are tiny (one per source x tier x window), so the persist is
+            # cheap and the stage wall splits into encode vs merge — the
+            # Amdahl decomposition needs to see WHICH half stops scaling.
+            # OPT-IN (scaling_bench passes --profile-stages): the count()
+            # is an extra job barrier that costs ~2s of encode/merge
+            # overlap at small scale, so the default path keeps one job
+            from pyspark import StorageLevel
 
-        chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
-        metrics["n_chunks"] = chunks.count()
-        t0 = _mark("chunks_encode", t0)
+            chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+            metrics["n_chunks"] = chunks.count()
+            t0 = _mark("chunks_encode", t0)
         # row-count chunking: chunk sets are REGENERATED from the full tier
         # each run, and a backfill can shift 65536-point chunk boundaries
         # (new chunk_start keys overlapping stale rows) — so affected
@@ -352,8 +357,11 @@ def run_pipeline(
                 spark, chunks, watermark_col="chunk_end",
                 replace_partitions=not anchored,
                 props={"chunking": discipline})
-        chunks.unpersist()
-        t0 = _mark("chunks_merge", t0)
+        if profile_stages:
+            chunks.unpersist()
+            t0 = _mark("chunks_merge", t0)
+        else:
+            t0 = _mark("chunks", t0)
 
     cur_1m.unpersist()
     if gap_for_chunks.get("df") is not None:
@@ -396,6 +404,10 @@ def main(argv=None):
     ap.add_argument("--anchored-chunks", action="store_true",
                     help="time-anchored Gorilla chunk windows (stable keys; "
                          "enables incremental chunk re-encode)")
+    ap.add_argument("--profile-stages", action="store_true",
+                    help="materialize the chunk encode before the merge so "
+                         "stage walls split encode vs merge (adds a job "
+                         "barrier; scaling_bench turns this on)")
     ap.add_argument("--repeat", type=int, default=1,
                     help="timed pipeline executions in this session (bench)")
     ap.add_argument("--warmup", type=int, default=0,
@@ -420,7 +432,8 @@ def main(argv=None):
                                overlap=not args.no_overlap,
                                incremental_gapfill=args.incremental_gapfill,
                                chunk_seconds=(DEFAULT_CHUNK_SECONDS
-                                              if args.anchored_chunks else None))
+                                              if args.anchored_chunks else None),
+                               profile_stages=args.profile_stages)
         print(json.dumps(metrics["summary"]))
         return
 
@@ -440,7 +453,8 @@ def main(argv=None):
                                overlap=not args.no_overlap,
                                incremental_gapfill=args.incremental_gapfill,
                                chunk_seconds=(DEFAULT_CHUNK_SECONDS
-                                              if args.anchored_chunks else None))
+                                              if args.anchored_chunks else None),
+                               profile_stages=args.profile_stages)
         shutil.rmtree(out, ignore_errors=True)
         if i >= args.warmup:
             walls.append(metrics["summary"]["wall_s"])

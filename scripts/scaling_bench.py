@@ -147,6 +147,7 @@ def run_config(zpath: str, seq_path: str, cpus: int, runs: int) -> dict:
         "--cpus", str(cpus),
         "--warmup", "1",
         "--repeat", str(runs),
+        "--profile-stages",
     ]
     # pin BLAS/OMP to one thread per python worker: otherwise local[2]
     # silently borrows extra host cores inside the pandas UDFs and the

@@ -42,6 +42,10 @@ def get_spark(cpus: int | None = None, shuffle_partitions: int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
+        # int64-micros timestamps (the Iceberg spec forbids INT96, and
+        # INT96 carries no parquet min/max statistics — the table layer's
+        # commit-time footer stats need them for watermark columns)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # parquet's Hadoop vectored-IO path funnels every task's reads
         # through one small shared thread pool — on a many-core local
         # filesystem it serializes array-column scans (measured 4x slowdown

@@ -222,6 +222,68 @@ class KeyedTable:
         return record
 
     @staticmethod
+    def _footer_stats(data_dir: str, part_dirs: dict[str, str],
+                      watermark_col: str | None):
+        """Per-partition ``{pval: {"_n": rows, "_wm": max}}`` read from the
+        parquet FOOTERS of the just-written files — metadata-only, the way
+        an Iceberg writer records column stats into its manifest at commit
+        time instead of re-scanning the data it wrote. Returns None when any
+        file lacks usable stats (caller falls back to a Spark aggregation
+        job over the cached frame).
+
+        Watermarks are accepted only for int/timestamp columns: parquet
+        string min/max may be TRUNCATED bounds (not the true max), and
+        float stats are unreliable in the presence of NaN."""
+        import datetime
+        import glob as _glob
+
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow is baked in
+            return None
+
+        def one_part(dirname):
+            files = _glob.glob(os.path.join(data_dir, dirname, "*.parquet"))
+            if not files:
+                return None
+            n, wm = 0, None
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                n += md.num_rows
+                if watermark_col is None:
+                    continue
+                for rg in range(md.num_row_groups):
+                    grp, st = md.row_group(rg), None
+                    for ci in range(grp.num_columns):
+                        if grp.column(ci).path_in_schema == watermark_col:
+                            st = grp.column(ci).statistics
+                            break
+                    if st is None or not st.has_min_max:
+                        return None
+                    v = st.max
+                    if isinstance(v, datetime.datetime):
+                        if v.tzinfo is not None:  # arrow returns tz-aware UTC
+                            v = v.astimezone(datetime.timezone.utc).replace(
+                                tzinfo=None)
+                    elif not isinstance(v, int) or isinstance(v, bool):
+                        return None  # str/bytes/float: bounds, not maxima
+                    wm = v if wm is None or v > wm else wm
+            if watermark_col is not None and wm is None:
+                return None  # no row group carried stats for the column
+            return {"_n": n, "_wm": wm}
+
+        # footer parsing releases the GIL in pyarrow — a thread pool keeps
+        # this O(partitions) driver step flat for ~1000-partition merges
+        from concurrent.futures import ThreadPoolExecutor
+
+        items = list(part_dirs.items())
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(items)))) as ex:
+            stats = list(ex.map(lambda it: one_part(it[1]), items))
+        if any(s is None for s in stats):
+            return None
+        return {pval: s for (pval, _), s in zip(items, stats)}
+
+    @staticmethod
     def _list_parts(dirpath: str, pc: str) -> dict[str, str]:
         """Partition-dir listing as {decoded value: dir name}. Spark URL-
         encodes special characters in partition dir names; stats groupBys
@@ -316,11 +378,18 @@ class KeyedTable:
                 # don't rewrite
                 os.rename(stage_dir, os.path.join(self.path, rel_base))
 
-        # watermarks + row counts from the cached written data (no file scan)
-        aggs = [F.count(F.lit(1)).alias("_n")]
-        if watermark_col is not None:
-            aggs.append(F.max(watermark_col).alias("_wm"))
-        stats = {str(r[0]): r for r in stats_src.groupBy(pc).agg(*aggs).collect()}
+        # watermarks + row counts: first choice is the parquet footers of
+        # the files just written (metadata-only, zero Spark jobs — Iceberg
+        # commit-time stats); fallback is one aggregation job over the
+        # cached written data (still no file re-scan).
+        stats = self._footer_stats(os.path.join(self.path, rel_base),
+                                   part_dirs, watermark_col)
+        if stats is None:
+            aggs = [F.count(F.lit(1)).alias("_n")]
+            if watermark_col is not None:
+                aggs.append(F.max(watermark_col).alias("_wm"))
+            stats = {str(r[0]): r
+                     for r in stats_src.groupBy(pc).agg(*aggs).collect()}
         rows = sum(r["_n"] for r in stats.values())
         if keep_data:
             # keep stats_src (the written content) cached for the caller;
@@ -403,13 +472,15 @@ class KeyedTable:
          .parquet(os.path.join(self.path, rel_base)))
         data_dir = os.path.join(self.path, rel_base)
         part_dirs = self._list_parts(data_dir, pc)
-        aggs = [F.count(F.lit(1)).alias("_n")]
-        if watermark_col is not None:
-            aggs.append(F.max(watermark_col).alias("_wm"))
         if part_dirs:
-            # stats from the cached written data — no file re-scan
-            stats = {str(r[0]): r
-                     for r in df.groupBy(pc).agg(*aggs).collect()}
+            # footer stats first (metadata-only), cached-frame job fallback
+            stats = self._footer_stats(data_dir, part_dirs, watermark_col)
+            if stats is None:
+                aggs = [F.count(F.lit(1)).alias("_n")]
+                if watermark_col is not None:
+                    aggs.append(F.max(watermark_col).alias("_wm"))
+                stats = {str(r[0]): r
+                         for r in df.groupBy(pc).agg(*aggs).collect()}
         else:
             # every row aged out: publish an empty snapshot (partitions={})
             # rather than crashing on a zero-path read

@@ -134,6 +134,42 @@ def test_merge_idempotent_and_incremental(spark, r1m, tmp_path):
     assert t.snapshot() == 3
 
 
+def test_merge_stats_from_parquet_footers(spark, r1m, tmp_path):
+    """merge_upsert's manifest stats (row counts + watermarks) come from the
+    parquet footers of the files it just wrote — metadata-only, zero Spark
+    jobs — and must equal a real aggregation over the table (both the
+    first-snapshot branch and the key-merge branch)."""
+    import collections
+    import os
+
+    from hastl_spark.sources.tables import _wm_json
+
+    t = KeyedTable(str(tmp_path / "tft"), ["source", "bucket"])
+    t.merge_upsert(spark, r1m, watermark_col="bucket")
+    one = r1m.limit(1).withColumn("sum_n_tok", F.lit(7).cast("long"))
+    t.merge_upsert(spark, one, watermark_col="bucket")  # key-merge branch
+    man = t._load()
+    bydir = collections.defaultdict(dict)
+    for pval, rel in man["partitions"].items():
+        base, dirname = os.path.split(rel)
+        bydir[base][pval] = dirname
+    foot = {}
+    for base, pdirs in bydir.items():
+        got = KeyedTable._footer_stats(os.path.join(str(t.path), base),
+                                       pdirs, "bucket")
+        assert got is not None, "timestamp watermarks must have footer stats"
+        foot.update(got)
+    agg = {r["source"]: r for r in
+           t.read(spark).groupBy("source")
+           .agg(F.count(F.lit(1)).alias("_n"), F.max("bucket").alias("_wm"))
+           .collect()}
+    assert set(foot) == set(agg)
+    for p in foot:
+        assert foot[p]["_n"] == agg[p]["_n"]
+        assert _wm_json(foot[p]["_wm"]) == _wm_json(agg[p]["_wm"])
+        assert man["watermarks"][p] == _wm_json(agg[p]["_wm"])
+
+
 def test_gorilla_chunks_roundtrip(spark, r1m):
     chunks = gorilla_chunks(r1m, "sum_n_tok", max_points_per_chunk=100).toPandas()
     pts = decode_chunks(chunks)

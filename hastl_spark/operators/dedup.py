@@ -248,12 +248,29 @@ def dup_group_labels(nodes: DataFrame, pairs: DataFrame, max_iter: int = 20,
     import warnings
 
     F_ = F
-    edges = (pairs.select(F_.col("id_a").alias("src"), F_.col("id_b").alias("dst"))
-             .unionByName(pairs.select(F_.col("id_b").alias("src"),
-                                       F_.col("id_a").alias("dst")))
-             .distinct())
-    labels = nodes.select(F_.col(id_col).alias("node")).distinct() \
-                  .withColumn("lbl", F_.col("node"))
+    # materialize the edge set ONCE: `pairs` usually arrives as the unexecuted
+    # plan of an expensive pair-producing operator (banded LSH join, Jaccard
+    # self-join), and every propagation round joins against `edges` — without
+    # this checkpoint the whole upstream dedup plan re-executes per round
+    # (measured: ~4x the pair cost at sf0.1, the entire query wall).
+    # Symmetrization via explode, not union-of-two-selects: union branches are
+    # separate subplans, so the upstream pair plan would execute twice even
+    # inside the one checkpoint job.
+    edges = (pairs.select(F_.explode(F_.array(
+                 F_.struct(F_.col("id_a").alias("src"), F_.col("id_b").alias("dst")),
+                 F_.struct(F_.col("id_b").alias("src"), F_.col("id_a").alias("dst")),
+             )).alias("e"))
+             .select("e.src", "e.dst")
+             .distinct()
+             .localCheckpoint())
+    all_nodes = nodes.select(F_.col(id_col).alias("node")).distinct()
+    # iterate ONLY over nodes that appear in some pair: in a deduped corpus
+    # the overwhelming majority of docs are singletons, and there is no
+    # reason to drag them through 2 joins + a groupBy per round — they label
+    # themselves and are unioned back in at the end. The loop's frames shrink
+    # from |corpus| to |dup participants|.
+    participants = edges.select(F_.col("src").alias("node")).distinct()
+    labels = participants.withColumn("lbl", F_.col("node"))
     converged = False
     for it in range(max_iter):
         neigh = (edges.join(labels, edges.src == labels.node)
@@ -264,10 +281,13 @@ def dup_group_labels(nodes: DataFrame, pairs: DataFrame, max_iter: int = 20,
         # (monotone non-increasing within the component, so still exact)
         parent = propagated.select(F_.col("node").alias("lbl"),
                                    F_.col("lbl").alias("_plbl"))
+        # lazy checkpoint: still truncates lineage, but materialization rides
+        # on the NEXT action (the probe count every 2nd round) instead of
+        # launching its own job per round — halves the driver round-trips
         new_labels = (propagated.join(parent, "lbl", "left")
                       .select("node",
                               F_.coalesce("_plbl", F_.col("lbl")).alias("lbl"))
-                      .localCheckpoint())
+                      .localCheckpoint(eager=False))
         if it % 2 == 1 or it == max_iter - 1:
             changed = (new_labels.alias("n")
                        .join(labels.alias("o"), "node")
@@ -283,8 +303,11 @@ def dup_group_labels(nodes: DataFrame, pairs: DataFrame, max_iter: int = 20,
             f"dup_group_labels did not converge in {max_iter} rounds "
             f"(component diameter > ~2^{max_iter}); labels may be split — "
             "raise max_iter", RuntimeWarning)
-    return labels.select(F_.col("node").alias(id_col),
-                         F_.col("lbl").alias("group_id"))
+    singletons = (all_nodes.join(participants, "node", "left_anti")
+                  .withColumn("lbl", F_.col("node")))
+    return (labels.unionByName(singletons)
+            .select(F_.col("node").alias(id_col),
+                    F_.col("lbl").alias("group_id")))
 
 
 def dropped_bucket_stats(embeddings: DataFrame, dim: int, n_bits: int = 64,

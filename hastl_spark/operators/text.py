@@ -139,10 +139,25 @@ def poly_hash_sql(col: str, n: int) -> str:
 def fingerprint_portable(docs: DataFrame, window: int = 8,
                          text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Winnowing-style 1-row document fingerprint: min over the doc's
-    distinct ``window``-grams of a portable polynomial hash — the
-    SQL-value-checkable twin of :func:`rolling_fingerprint`."""
-    grams = char_ngrams(docs, n=window, text_col=text_col, id_col=id_col)
-    return grams.groupBy(id_col).agg(
+    ``window``-grams of a portable polynomial hash — the SQL-value-checkable
+    twin of :func:`rolling_fingerprint`.
+
+    Unlike :func:`char_ngrams` this explodes WITHOUT array_distinct: min over
+    all grams equals min over distinct grams, so the per-gram dedup hashing
+    is pure waste here (measured 2.6s -> 2.0s at sf0.1), and the min partial-
+    aggregates map-side so the exchange carries one row per doc per
+    partition. (A shuffle-free array_min(transform(poly)) variant was tried
+    and is ~2x SLOWER: higher-order-function lambdas are interpreted per
+    element, while the exploded poly expression runs in whole-stage codegen.)
+    """
+    c = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (window - 1), F.lit(1))),
+        lambda i: F.substr(c, i, F.lit(window)),
+    )
+    exploded = (docs.select(F.col(id_col), F.explode(grams).alias("ngram"))
+                .filter(F.length("ngram") == window))
+    return exploded.groupBy(id_col).agg(
         F.expr(f"min({poly_hash_sql('ngram', window)})").alias("fingerprint")
     )
 

@@ -192,14 +192,17 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
         mask = (1 << r) - 1
         sigs = lsh_signatures(embeddings, dim, n_bits=n_bits,
                               id_col=id_col, vec_col=vec_col)
+        # vector norm computed once per row pre-explode (the HOF fold is
+        # interpreted per element; per-pair recomputation multiplies it by
+        # the candidate fan-out), carried through the band join
         bands = sigs.select(
-            id_col, vec_col,
+            id_col, vec_col, _norm(F.col(vec_col)).alias("_n"),
             F.explode(F.array(*[
                 F.struct(F.lit(bi).alias("band"),
                          F.shiftright("sig", bi * r).bitwiseAND(F.lit(mask)).alias("bh"))
                 for bi in range(n_bands)
             ])).alias("bb"),
-        ).select(id_col, vec_col, "bb.band", "bb.bh")
+        ).select(id_col, vec_col, "_n", "bb.band", "bb.bh")
         bands = _cap_band_buckets(bands, max_bucket)
         a, b = bands.alias("a"), bands.alias("b")
         cand = (
@@ -208,16 +211,19 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
                     F.col(f"a.{vec_col}").alias("va"),
-                    F.col(f"b.{vec_col}").alias("vb"))
+                    F.col(f"b.{vec_col}").alias("vb"),
+                    F.col("a._n").alias("_na"), F.col("b._n").alias("_nb"))
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
-        a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-        b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                              _norm(F.col(vec_col)).alias("_na"))
+        b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                              _norm(F.col(vec_col)).alias("_nb"))
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         cand.withColumn("cosine", _dot(F.col("va"), F.col("vb"))
-                        / (_norm(F.col("va")) * _norm(F.col("vb"))))
+                        / (F.col("_na") * F.col("_nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )

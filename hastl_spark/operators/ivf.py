@@ -82,22 +82,26 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, centroids: np.ndarray,
              k: int = 5, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Top-k cosine neighbors probing n_probe cells per query."""
-    idx = ivf_index(embeddings, centroids, id_col, vec_col)
+    # norms per side before the cell join (once per corpus/query row, not
+    # per candidate pair — the HOF fold is interpreted per element)
+    idx = ivf_index(embeddings, centroids, id_col, vec_col) \
+        .withColumn("_nn", _norm(F.col(vec_col)))
     qassign = _assign_udf(centroids, n_probe)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("_qn"),
         F.explode(qassign(F.col(vec_col))).alias("cell"),
     )
     cand = (
         idx.join(F.broadcast(q), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", "qvec", F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).alias("nvec"))
+        .select("query_id", "qvec", "_qn", F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("nvec"), "_nn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.withColumn(
         "cosine", _dot(F.col("qvec"), F.col("nvec"))
-        / (_norm(F.col("qvec")) * _norm(F.col("nvec"))))
+        / (F.col("_qn") * F.col("_nn")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

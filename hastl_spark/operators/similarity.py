@@ -44,16 +44,23 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     ``queries`` is expected to be small — it is broadcast, so the corpus is
     scanned once with no shuffle before the top-k window."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
+    # norms are computed per SIDE before the join (once per corpus/query
+    # row), not per pair: the HOF fold is interpreted per element, so
+    # re-deriving |n| for every (query, neighbor) pair multiplies that cost
+    # by |queries|. Same expression on the same values — bitwise-identical
+    # cosine.
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"),
+        _norm(F.col(vec_col)).alias("_nn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", _dot(F.col("qvec"), F.col("nvec"))
-                    / (_norm(F.col("qvec")) * _norm(F.col("nvec"))))
+                    / (F.col("_qn") * F.col("_nn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -97,13 +104,14 @@ def dequantized_cosine_topk(embeddings: DataFrame, queries: DataFrame,
     corpus = qt.select(
         F.col(id_col).alias("neighbor_id"),
         F.transform("qvec", lambda b: b.cast("double") * F.col("scale")).alias("nvec"),
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    ).withColumn("_nn", _norm(F.col("nvec")))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+                       _norm(F.col(vec_col)).alias("_qn"))
     scored = (
         corpus.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", _dot(F.col("qvec"), F.col("nvec"))
-                    / (_norm(F.col("qvec")) * _norm(F.col("nvec"))))
+                    / (F.col("_qn") * F.col("_nn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -198,8 +206,11 @@ def ann_topk_portable(embeddings: DataFrame, queries: DataFrame, dim: int,
     planes = portable_int_hyperplanes(dim, n_bits, seed)
     sig_udf = _portable_sig_udf(planes, n_bits)
 
-    def with_bands(df, idn, vecn):
+    def with_bands(df, idn, vecn, nrm):
+        # per-side norm computed once per row, pre-explode — carried (not
+        # recomputed) through the band explode and candidate join
         d = df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(vecn),
+                      _norm(F.col(vec_col)).alias(nrm),
                       sig_udf(F.col(vec_col)).alias("_sig"))
         bit = lambda kpos: F.shiftright("_sig", kpos).bitwiseAND(F.lit(1))
         band_structs = [
@@ -208,12 +219,12 @@ def ann_topk_portable(embeddings: DataFrame, queries: DataFrame, dim: int,
                          for j in range(r)).alias("bh"))
             for bi in range(bands)
         ]
-        return (d.select(idn, vecn,
+        return (d.select(idn, vecn, nrm,
                          F.explode(F.array(*band_structs)).alias("bb"))
-                .select(idn, vecn, "bb.band", "bb.bh"))
+                .select(idn, vecn, nrm, "bb.band", "bb.bh"))
 
-    cb = with_bands(embeddings, "neighbor_id", "nvec")
-    qb = with_bands(queries, "query_id", "qvec")
+    cb = with_bands(embeddings, "neighbor_id", "nvec", "_nn")
+    qb = with_bands(queries, "query_id", "qvec", "_qn")
     cand = (
         cb.join(F.broadcast(qb), ["band", "bh"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -221,7 +232,7 @@ def ann_topk_portable(embeddings: DataFrame, queries: DataFrame, dim: int,
     )
     scored = cand.withColumn(
         "cosine", _dot(F.col("qvec"), F.col("nvec"))
-        / (_norm(F.col("qvec")) * _norm(F.col("nvec")))
+        / (F.col("_qn") * F.col("_nn"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -297,19 +308,20 @@ def ann_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     sigs = lsh_signatures(embeddings, dim, n_bits, seed, id_col, vec_col)
     qsigs = lsh_signatures(queries, dim, n_bits, seed, id_col, vec_col)
 
-    def explode_bands(df, idn, vecn):
+    def explode_bands(df, idn, vecn, nrm):
         return df.select(
             F.col(id_col).alias(idn), F.col(vec_col).alias(vecn),
+            _norm(F.col(vec_col)).alias(nrm),
             F.explode(F.array(*[
                 F.struct(
                     F.lit(bi).alias("band"),
                     F.shiftright("sig", bi * r).bitwiseAND(F.lit(mask)).alias("bh"),
                 ) for bi in range(bands)
             ])).alias("bb"),
-        ).select(idn, vecn, "bb.band", "bb.bh")
+        ).select(idn, vecn, nrm, "bb.band", "bb.bh")
 
-    cb = explode_bands(sigs, "neighbor_id", "nvec")
-    qb = explode_bands(qsigs, "query_id", "qvec")
+    cb = explode_bands(sigs, "neighbor_id", "nvec", "_nn")
+    qb = explode_bands(qsigs, "query_id", "qvec", "_qn")
     cand = (
         cb.join(F.broadcast(qb), ["band", "bh"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -317,7 +329,7 @@ def ann_topk(embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     )
     scored = cand.withColumn(
         "cosine", _dot(F.col("qvec"), F.col("nvec"))
-        / (_norm(F.col("qvec")) * _norm(F.col("nvec")))
+        / (F.col("_qn") * F.col("_nn"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -320,6 +320,37 @@ def q_fingerprints_portable(spark, sf_dir):
     return fingerprint_portable(_docs(spark, sf_dir))
 
 
+_PACK_BUDGET = 2048
+_MIX_RATES = {f"src{i}": ((i % 4) + 1) / 4 for i in range(64)}
+
+
+def q_pack_assignments(spark, sf_dir):
+    """Concat-and-chunk training-sequence packing: per source, docs ordered
+    by id form one stream chunked into 2048-char packs; each doc gets its
+    pack id, offset and span. Distributed prefix-sum, value-checked against
+    a naive single-window SQL twin."""
+    from hastl_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), _PACK_BUDGET)
+
+
+def q_packs_summary(spark, sf_dir):
+    """Per-pack occupancy (docs touching the pack, exact unit contribution
+    of boundary docs) — the fill-ratio audit of q_pack_assignments."""
+    from hastl_spark.operators.packing import pack_summary
+
+    return pack_summary(_docs(spark, sf_dir), _PACK_BUDGET)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic training-mixture sampling: per-source keep rates via
+    portable LCG arithmetic on doc_id (pure filter, rows byte-identical)."""
+    from hastl_spark.operators.packing import mixture_sample
+
+    return mixture_sample(_docs(spark, sf_dir), _MIX_RATES,
+                          default_rate=0.5).select("doc_id", "source", "n_chars")
+
+
 def q_ann_topk(spark, sf_dir):
     """LSH ANN top-k with SQL-portable integer sign bits (pure Catalyst) —
     value-checks the band-collision -> exact-re-rank -> top-k plan. The
@@ -442,6 +473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_real_decode": q_media_real_decode,
         "minhash_pairs": q_minhash_pairs,
         "ann_topk": q_ann_topk,
+        "pack_assignments": q_pack_assignments,
+        "packs_summary": q_packs_summary,
+        "mixture_sample": q_mixture_sample,
         # rows-only (no SQL equivalent: the STL/LOESS numeric kernels)
         "stl_gapfill_1h": q_stl_gapfill_1h,
         "loess_smooth_1h": q_loess_smooth_1h,
@@ -785,4 +819,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM img_stats UNION ALL SELECT * FROM aud_stats
         """,
+        "pack_assignments": f"""
+            WITH c AS (
+              SELECT doc_id, source, n_chars,
+                     sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+              FROM documents
+            )
+            SELECT doc_id, source,
+                   (cum - n_chars) // {_PACK_BUDGET} AS pack_id,
+                   (cum - n_chars) % {_PACK_BUDGET} AS pack_offset,
+                   CAST((cum - 1) // {_PACK_BUDGET}
+                        - (cum - n_chars) // {_PACK_BUDGET} + 1 AS INT)
+                       AS packs_spanned
+            FROM c
+        """,
+        "packs_summary": f"""
+            WITH c AS (
+              SELECT doc_id, source, n_chars,
+                     sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+              FROM documents
+            ), a AS (
+              SELECT doc_id, source, cum - n_chars AS s, cum AS e,
+                     (cum - n_chars) // {_PACK_BUDGET} AS p0,
+                     (cum - 1) // {_PACK_BUDGET} AS p1
+              FROM c
+            ), x AS (
+              SELECT source, doc_id, s, e, p0 + u.g AS pack_id
+              FROM a, unnest(range(0, CAST(p1 - p0 + 1 AS BIGINT))) AS u(g)
+            )
+            SELECT source, pack_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(least(e, (pack_id + 1) * {_PACK_BUDGET})
+                            - greatest(s, pack_id * {_PACK_BUDGET})) AS BIGINT)
+                       AS n_units
+            FROM x GROUP BY 1, 2
+        """,
+        "mixture_sample": (
+            "SELECT doc_id, source, n_chars FROM documents WHERE "
+            + __import__("hastl_spark.operators.packing",
+                         fromlist=["mixture_sample_where_sql"]
+                         ).mixture_sample_where_sql(_MIX_RATES,
+                                                    default_rate=0.5)
+        ),
     }

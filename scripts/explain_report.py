@@ -159,6 +159,27 @@ def main():
         "text#" not in b for b in exch_blocks)
     checks.append(("exact dedup exchange carries hash keys, not text", no_text_shuffle))
 
+    # 7. sequence packing: the shard-offset join must BROADCAST (offsets are
+    # sources x shards rows — tiny), and no window may partition by source
+    # alone (a whole source in one task is the scale hazard the distributed
+    # prefix sum exists to avoid)
+    from hastl_spark.operators.packing import pack_sequences
+
+    p = plan_of(pack_sequences(docs, 2048))
+    sections["pack_sequences (distributed prefix sum)"] = p
+    # windowspecdefinition(partition cols..., sort spec...): the full-input
+    # cumsum must partition by (source, _shard) — "_shard#N," with no ASC
+    # means _shard is a PARTITION col, not a sort col. A spec ordering _id
+    # directly under source alone would be the whole-source single task.
+    local_sharded = bool(re.search(
+        r"windowspecdefinition\(source#\d+[^,]*, _shard#\d+[^ ]*, _id", p))
+    whole_source = bool(re.search(
+        r"windowspecdefinition\(source#\d+[^,]*, _id#\d+[^ ]* ASC", p))
+    checks.append(("packing shard-offset join broadcasts",
+                   "BroadcastHashJoin" in p or "BroadcastExchange" in p))
+    checks.append(("packing cumsum window partitions by (source, _shard), "
+                   "never source alone", local_sharded and not whole_source))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_report.py)\n"]
     out.append("## Checks\n")
     for name, ok in checks:

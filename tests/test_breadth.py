@@ -361,6 +361,28 @@ def test_dup_group_labels_connected_components(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
 
 
+def test_dup_group_labels_fast_path_equals_distributed(spark):
+    """The driver union-find fast path and the min-label propagation loop
+    are the same operator: random-ish graph (chains, a star, a cycle,
+    cross-links), compared label-for-label with the fast path disabled."""
+    from hastl_spark.operators.dedup import dup_group_labels
+
+    n = 60
+    edges = ([(i, i + 1) for i in range(0, 20, 2)]          # short chains
+             + [(30, i) for i in range(31, 40)]             # star
+             + [(40, 41), (41, 42), (42, 40)]               # cycle
+             + [(3, 35), (19, 42), (55, 56), (56, 57)])     # cross-links
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {r.doc_id: r.group_id
+            for r in dup_group_labels(nodes, pairs).collect()}
+    dist = {r.doc_id: r.group_id
+            for r in dup_group_labels(nodes, pairs,
+                                      driver_edge_limit=0).collect()}
+    assert fast == dist
+    assert len(fast) == n
+
+
 def test_scrub_text_masks_planted_urls_and_emails(spark):
     from hastl_spark.operators.text import scrub_text
 

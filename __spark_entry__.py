@@ -314,10 +314,11 @@ def q_simhash_portable(spark, sf_dir):
 
 def q_fingerprints_portable(spark, sf_dir):
     """Winnowing fingerprint with a SQL-portable rolling hash (value-checked
-    twin of rolling_fingerprint)."""
-    from hastl_spark.operators.text import fingerprint_portable
+    twin of rolling_fingerprint). Served by the Arrow-batched numpy pass —
+    same values as the Catalyst explode shape (pinned by test), ~3x faster."""
+    from hastl_spark.operators.text import fingerprint_portable_np
 
-    return fingerprint_portable(_docs(spark, sf_dir))
+    return fingerprint_portable_np(_docs(spark, sf_dir))
 
 
 _PACK_BUDGET = 2048

@@ -130,6 +130,29 @@ def test_simhash_near_pairs(spark, docs):
     assert any(r.id_a == 7 and r.id_b == 900007 for r in pairs)
 
 
+def test_fingerprint_np_equals_catalyst(spark):
+    """The Arrow-batched numpy fingerprint is value-identical to the
+    Catalyst explode shape, including the edge cases: text shorter than the
+    window (no output row), null text (no row), non-ASCII codepoints (must
+    match Spark ascii() semantics), exact-window-length text."""
+    from hastl_spark.operators.text import (
+        fingerprint_portable, fingerprint_portable_np)
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "short"),                    # < window: absent from output
+         (2, None),                       # null: absent
+         (3, "exactly8"),                 # == window: one gram
+         (4, "naïve café — über résumé"), # non-ASCII codepoints
+         (5, "aaaaaaaaaaaaaaaa")],        # repeated grams
+        "doc_id long, text string")
+    a = {r.doc_id: r.fingerprint for r in fingerprint_portable(df).collect()}
+    b = {r.doc_id: r.fingerprint
+         for r in fingerprint_portable_np(df).collect()}
+    assert a == b
+    assert set(a) == {0, 3, 4, 5}
+
+
 def test_fingerprint_deterministic(spark, docs):
     a = rolling_fingerprint(docs.filter("doc_id < 20")).toPandas().sort_values("doc_id")
     b = rolling_fingerprint(docs.filter("doc_id < 20")).toPandas().sort_values("doc_id")

@@ -343,6 +343,35 @@ def q_packs_summary(spark, sf_dir):
     return pack_summary(_docs(spark, sf_dir), _PACK_BUDGET)
 
 
+_TOK_BUDGET = 256
+# deterministic synthetic token arrays over the documents table (the driver
+# testdata has no token-array column): tokens = [doc_id%50 .. doc_id%50 +
+# n_chars%23], expressible identically in Spark and DuckDB
+_TOK_EXPR = "sequence(doc_id % 50, doc_id % 50 + (n_chars % 23))"
+
+
+def q_pack_tokens(spark, sf_dir):
+    """PHYSICAL packing: budget-length token arrays assembled from each
+    doc's overlap with the pack window (slice -> one-shuffle -> ordered
+    flatten). The assembled array is value-checked through exact scalar
+    digests (the driver's comparator cannot sort array columns — same
+    convention as minhash's h0..h15): length, token sum, and a
+    POSITION-weighted sum, which any ordering or boundary mistake shifts."""
+    from hastl_spark.operators.packing import pack_tokens
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.expr(_TOK_EXPR).alias("tokens"),
+        F.expr("(n_chars % 23) + 1").cast("long").alias("n_tok"))
+    p = pack_tokens(d, _TOK_BUDGET)
+    return p.select(
+        "source", "pack_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.expr("aggregate(tokens, 0L, (a, x) -> a + x)").alias("tok_sum"),
+        F.expr("aggregate(transform(tokens, (x, i) -> x * (i + 1)),"
+               " 0L, (a, y) -> a + y)").alias("tok_possum"))
+
+
 def q_mixture_sample(spark, sf_dir):
     """Deterministic training-mixture sampling: per-source keep rates via
     portable LCG arithmetic on doc_id (pure filter, rows byte-identical)."""
@@ -476,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "pack_assignments": q_pack_assignments,
         "packs_summary": q_packs_summary,
+        "pack_tokens": q_pack_tokens,
         "mixture_sample": q_mixture_sample,
         # rows-only (no SQL equivalent: the STL/LOESS numeric kernels)
         "stl_gapfill_1h": q_stl_gapfill_1h,
@@ -854,6 +884,46 @@ def oracle_sql() -> dict[str, str]:
                             - greatest(s, pack_id * {_PACK_BUDGET})) AS BIGINT)
                        AS n_units
             FROM x GROUP BY 1, 2
+        """,
+        "pack_tokens": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     range(doc_id % 50, doc_id % 50 + (n_chars % 23) + 1)
+                         AS tokens,
+                     (n_chars % 23) + 1 AS n_tok
+              FROM documents
+            ), c AS (
+              SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+                            AS cum
+              FROM t
+            ), a AS (
+              SELECT source, tokens, cum - n_tok AS s, cum AS e,
+                     (cum - n_tok) // {_TOK_BUDGET} AS p0,
+                     (cum - 1) // {_TOK_BUDGET} AS p1
+              FROM c
+            ), x AS (
+              SELECT source, p0 + u.g AS pack_id, s, e, tokens
+              FROM a, unnest(range(0, CAST(p1 - p0 + 1 AS BIGINT))) AS u(g)
+            ), p AS (
+              SELECT source, pack_id,
+                     greatest(s, pack_id * {_TOK_BUDGET})
+                         - pack_id * {_TOK_BUDGET} AS pos,
+                     tokens[CAST(greatest(s, pack_id * {_TOK_BUDGET}) - s + 1
+                                 AS BIGINT)
+                            :CAST(least(e, (pack_id + 1) * {_TOK_BUDGET}) - s
+                                  AS BIGINT)] AS piece
+              FROM x
+            )
+            SELECT source, pack_id,
+                   CAST(len(tokens) AS BIGINT) AS n_tokens,
+                   CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
+                   CAST(list_sum(list_transform(tokens, (x, i) -> x * i))
+                        AS BIGINT) AS tok_possum
+            FROM (
+              SELECT source, pack_id,
+                     flatten(array_agg(piece ORDER BY pos)) AS tokens
+              FROM p GROUP BY 1, 2
+            )
         """,
         "mixture_sample": (
             "SELECT doc_id, source, n_chars FROM documents WHERE "

@@ -45,7 +45,7 @@ HEADLINE = [
     "embeddings_knn", "embeddings_quantized", "label_centroid_norm",
     "ann_topk", "ivf_topk_full",
     "media_features", "media_real_decode",
-    "pack_assignments", "packs_summary", "mixture_sample",
+    "pack_assignments", "packs_summary", "pack_tokens", "mixture_sample",
     "stl_gapfill_1h", "loess_smooth_1h", "gorilla_roundtrip_1h",
     "trend_strength",
 ]

@@ -112,6 +112,62 @@ def pack_summary(df: DataFrame, budget: int, cost_col: str = "n_chars",
             .withColumnRenamed("source", source_col))
 
 
+def pack_tokens(df: DataFrame, budget: int, tokens_col: str = "tokens",
+                cost_col: str = "n_tok", source_col: str = "source",
+                id_col: str = "doc_id", shard_size: int = 65536) -> DataFrame:
+    """PHYSICAL concat-and-chunk packing: per (source, pack) the actual
+    budget-length token array, assembled from each document's overlap with
+    the pack window. :func:`pack_sequences` is the metadata half; this is
+    the materialization an LLM pre-training batch pipeline ships.
+
+    Returns (source_col, pack_id, tokens_col) where every pack except a
+    source's last holds exactly ``budget`` tokens, and flattening a source's
+    packs in pack_id order reproduces its documents' tokens in id order
+    (the token-preservation invariant, pinned by test).
+
+    ``cost_col`` must equal ``size(tokens_col)`` and be >= 1.
+
+    Scale shape: each token travels the shuffle exactly once — a doc
+    explodes into only the packs it overlaps (``1 + cost/budget`` pieces),
+    each piece is a Catalyst ``slice`` of the original array (no per-token
+    rows, unlike an explode-to-token design at 10^12 tokens), and the
+    per-group assembly state is bounded by ``budget`` tokens regardless of
+    doc or source size.
+    """
+    b = F.lit(int(budget))
+    assigned = pack_sequences(df, budget, cost_col, source_col, id_col,
+                              shard_size)
+    j = df.select(F.col(id_col),
+                  F.col(tokens_col).alias("_toks"),
+                  F.col(cost_col).cast("long").alias("_cost"))
+    a = assigned.join(j, id_col)
+    start = F.col("pack_id") * b + F.col("pack_offset")
+    exploded = a.select(
+        F.col(source_col).alias("source"), start.alias("_start"),
+        (start + F.col("_cost")).alias("_end"), F.col("_toks"),
+        F.explode(F.sequence(
+            F.col("pack_id"),
+            F.col("pack_id") + F.col("packs_spanned") - F.lit(1))
+        ).alias("pack_id"),
+    )
+    lo = F.greatest(F.col("_start"), F.col("pack_id") * b)
+    hi = F.least(F.col("_end"), (F.col("pack_id") + F.lit(1)) * b)
+    pieces = exploded.select(
+        "source", "pack_id",
+        (lo - F.col("pack_id") * b).alias("_pos"),
+        F.slice(F.col("_toks"), (lo - F.col("_start") + F.lit(1)).cast("int"),
+                (hi - lo).cast("int")).alias("_piece"),
+    )
+    # array_sort on struct(_pos, _piece) orders by _pos (unique per group),
+    # so the assembly is deterministic without a sort-within-partitions pass
+    return (pieces
+            .groupBy("source", "pack_id")
+            .agg(F.flatten(F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_piece"))),
+                lambda s: s["_piece"])).alias(tokens_col))
+            .withColumnRenamed("source", source_col))
+
+
 # LCG constants (glibc rand): portable exact int64 arithmetic in any engine
 _MIX_A = 1103515245
 _MIX_C = 12345

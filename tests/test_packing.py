@@ -76,6 +76,36 @@ def test_straddle_spans(spark):
     assert (got[1]["pack_id"], got[1]["pack_offset"], got[1]["packs_spanned"]) == (0, 60, 2)
 
 
+def test_pack_tokens_preserves_stream_and_fills_packs(spark):
+    """flatten(packs in pack_id order) == concat(docs' tokens in id order)
+    per source; every pack but the last exactly budget tokens; straddling
+    docs split across pack boundaries at the right positions."""
+    from hastl_spark.operators.packing import pack_tokens
+
+    rows = []
+    for i in range(90):
+        src = f"s{i % 3}"
+        n = 3 + (i * 7) % 60  # mix of < and > BUDGET/2, forces straddles
+        toks = [i * 1000 + k for k in range(n)]
+        rows.append((i, src, toks, n))
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, tokens array<long>, n_tok long")
+    packs = pack_tokens(df, BUDGET, shard_size=8).collect()
+    by_src = {}
+    for r in packs:
+        by_src.setdefault(r["source"], []).append(r)
+    want = {}
+    for i, src, toks, n in rows:
+        want.setdefault(src, []).extend(toks)
+    for src, ps in by_src.items():
+        ps.sort(key=lambda r: r["pack_id"])
+        assert [p["pack_id"] for p in ps] == list(range(len(ps)))
+        assert all(len(p["tokens"]) == BUDGET for p in ps[:-1])
+        assert 1 <= len(ps[-1]["tokens"]) <= BUDGET
+        got = [t for p in ps for t in p["tokens"]]
+        assert got == want[src]
+
+
 def test_mixture_sample_exact_and_deterministic(spark, docs):
     rates = {"s0": 0.25, "s1": 0.75, "s2": 1.0}
     got = sorted(r["doc_id"] for r in mixture_sample(docs, rates).collect())

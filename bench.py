@@ -133,6 +133,26 @@ def main():
         pts = metrics["summary"]["rolled_up_points"]
     pipe_wall = min(pipe_walls)
 
+    # ---- physical packing throughput over the SAME sequences table ----
+    # (the training-assembly op at real scale: every token crosses one
+    # shuffle as an array slice). sum(size(tokens)) forces full assembly —
+    # a bare count() would let Catalyst prune the collect_list — and must
+    # equal tokens_scanned (conservation).
+    from pyspark.sql import functions as F
+    from hastl_spark.operators.packing import pack_tokens
+
+    pseq = seqs.select(
+        F.substring("doc_id", -10, 10).cast("long").alias("doc_id"),
+        "source", "tokens", "n_tok")
+    pack_walls, tokens_packed = [], 0
+    for _ in range(repeat):
+        t0 = time.time()
+        tokens_packed = pack_tokens(pseq, 2048).select(
+            F.sum(F.size("tokens"))).collect()[0][0]
+        pack_walls.append(time.time() - t0)
+    pack_wall = min(pack_walls)
+    assert int(tokens_packed) == int(tokens_scanned), "packing lost tokens"
+
     eff = load_or_measure_efficiency()
     total = round(sum(timings.values()), 3)
     out = {
@@ -154,6 +174,15 @@ def main():
             "tokens_per_sec": round(tokens_scanned / pipe_wall, 1),
             "cpus": cpus,
         },
+    }
+    out["packing"] = {
+        "scale": PIPELINE_SCALE,
+        "budget": 2048,
+        "tokens_packed": int(tokens_packed),
+        "wall_s": round(pack_wall, 3),
+        "walls_s": [round(w, 3) for w in pack_walls],
+        "tokens_per_sec": round(tokens_packed / pack_wall, 1),
+        "cpus": cpus,
     }
     if eff:
         out["efficiency"] = eff.pop("value")

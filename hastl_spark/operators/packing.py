@@ -35,9 +35,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _require_integral_id(df: DataFrame, id_col: str) -> None:
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    t = df.schema[id_col].dataType
+    if not isinstance(t, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"{id_col} must be integral (got {t.simpleString()}): sharding "
+            "and the LCG sampler do exact int64 arithmetic on it — derive a "
+            "numeric order key first (a string id would cast to null and "
+            "silently break shard/rate semantics)")
+
+
 def pack_sequences(df: DataFrame, budget: int, cost_col: str = "n_chars",
                    source_col: str = "source", id_col: str = "doc_id",
-                   shard_size: int = 65536) -> DataFrame:
+                   shard_size: int = 65536, _carry: tuple = ()) -> DataFrame:
     """Assign each doc its pack under concat-and-chunk packing.
 
     Returns (id_col, source_col, pack_id, pack_offset, packs_spanned):
@@ -47,8 +59,19 @@ def pack_sequences(df: DataFrame, budget: int, cost_col: str = "n_chars",
 
     ``cost_col`` must be a positive integer column (token count / char
     count). ``shard_size`` bounds the rows any single window task sees.
+
+    ``id_col`` must be INTEGRAL: the order-preserving sharding arithmetic
+    needs it (a string id would cast to null and silently collapse every
+    row into one shard — the exact whole-source-single-task hazard this
+    operator exists to avoid). Callers with string ids derive a numeric
+    order key first (e.g. the sequences table's zero-padded suffix).
     """
+    _require_integral_id(df, id_col)
     b = F.lit(int(budget))
+    # _carry: extra df columns to ride along through the prefix-sum window
+    # (internal; lets pack_tokens/pack_summary avoid a second keyed join
+    # that would shuffle+sort the token payload a second time)
+    carry = [F.col(c) for c in _carry]
     d = df.select(
         F.col(source_col).alias("source"), F.col(id_col).alias("_id"),
         F.col(cost_col).cast("long").alias("_cost"),
@@ -56,11 +79,13 @@ def pack_sequences(df: DataFrame, budget: int, cost_col: str = "n_chars",
         # shard-prefix reconstruction is exact
         (F.col(id_col).cast("long") - F.pmod(F.col(id_col).cast("long"),
                                              F.lit(int(shard_size)))).alias("_shard"),
+        *carry,
     )
     w_local = (Window.partitionBy("source", "_shard").orderBy("_id")
                .rowsBetween(Window.unboundedPreceding, 0))
     local = d.withColumn("_lcum", F.sum("_cost").over(w_local))
-    totals = d.groupBy("source", "_shard").agg(F.sum("_cost").alias("_stot"))
+    totals = (d.select("source", "_shard", "_cost")
+              .groupBy("source", "_shard").agg(F.sum("_cost").alias("_stot")))
     w_shard = (Window.partitionBy("source").orderBy("_shard")
                .rowsBetween(Window.unboundedPreceding, -1))
     offsets = (totals
@@ -78,6 +103,7 @@ def pack_sequences(df: DataFrame, budget: int, cost_col: str = "n_chars",
         pack_id.alias("pack_id"),
         F.pmod(start, b).alias("pack_offset"),
         (last_pack - pack_id + F.lit(1)).cast("int").alias("packs_spanned"),
+        *[F.col(c) for c in _carry],
     )
 
 
@@ -89,11 +115,9 @@ def pack_summary(df: DataFrame, budget: int, cost_col: str = "n_chars",
     pack's [p*budget, (p+1)*budget) window). Every pack except a source's
     last is exactly full — pinned in tests as the conservation check."""
     b = F.lit(int(budget))
-    assigned = pack_sequences(df, budget, cost_col, source_col, id_col,
-                              shard_size)
-    j = df.select(F.col(id_col).alias(id_col),
-                  F.col(cost_col).cast("long").alias("_cost"))
-    a = assigned.join(j, id_col)
+    a = (pack_sequences(df, budget, cost_col, source_col, id_col,
+                        shard_size, _carry=(cost_col,))
+         .withColumn("_cost", F.col(cost_col).cast("long")))
     start = F.col("pack_id") * b + F.col("pack_offset")
     exploded = (a.select(
         F.col(source_col).alias("source"), F.col(id_col), start.alias("_start"),
@@ -127,20 +151,23 @@ def pack_tokens(df: DataFrame, budget: int, tokens_col: str = "tokens",
 
     ``cost_col`` must equal ``size(tokens_col)`` and be >= 1.
 
-    Scale shape: each token travels the shuffle exactly once — a doc
-    explodes into only the packs it overlaps (``1 + cost/budget`` pieces),
-    each piece is a Catalyst ``slice`` of the original array (no per-token
-    rows, unlike an explode-to-token design at 10^12 tokens), and the
+    Scale shape: the token payload crosses exactly two exchanges — the
+    prefix-sum window shuffle (it rides along via ``_carry``; no join-back,
+    which would shuffle AND sort it a third time) and the assembly groupBy.
+    A doc explodes into only the packs it overlaps (``1 + cost/budget``
+    pieces), each piece a Catalyst ``slice`` of the original array (no
+    per-token rows, unlike an explode-to-token design at 10^12 tokens), and
     per-group assembly state is bounded by ``budget`` tokens regardless of
     doc or source size.
     """
     b = F.lit(int(budget))
-    assigned = pack_sequences(df, budget, cost_col, source_col, id_col,
-                              shard_size)
-    j = df.select(F.col(id_col),
-                  F.col(tokens_col).alias("_toks"),
-                  F.col(cost_col).cast("long").alias("_cost"))
-    a = assigned.join(j, id_col)
+    # tokens ride the prefix-sum window shuffle (_carry) instead of a
+    # second (source, id) join-back, which would shuffle AND sort the
+    # token payload again
+    a = (pack_sequences(df, budget, cost_col, source_col, id_col,
+                        shard_size, _carry=(tokens_col,))
+         .withColumn("_toks", F.col(tokens_col))
+         .withColumn("_cost", F.size("_toks").cast("long")))
     start = F.col("pack_id") * b + F.col("pack_offset")
     exploded = a.select(
         F.col(source_col).alias("source"), start.alias("_start"),
@@ -185,7 +212,9 @@ def mixture_sample(df: DataFrame, rates: dict[str, float],
     Pure filter — survivors are byte-identical input rows (token arrays
     preserved), re-runnable with identical output on any cluster size.
     ``rates`` is a plain dict because mixture weights are a small config,
-    exactly like a broadcast dim table."""
+    exactly like a broadcast dim table. ``id_col`` must be integral (the
+    LCG is exact int64 arithmetic)."""
+    _require_integral_id(df, id_col)
     u = F.pmod(F.pmod(F.col(id_col).cast("long") * F.lit(_MIX_A) + F.lit(_MIX_C),
                       F.lit(_MIX_M)), F.lit(_MIX_DENOM))
     thr = F.lit(int(round(default_rate * _MIX_DENOM)))

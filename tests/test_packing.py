@@ -85,9 +85,11 @@ def test_pack_tokens_preserves_stream_and_fills_packs(spark):
     rows = []
     for i in range(90):
         src = f"s{i % 3}"
-        n = 3 + (i * 7) % 60  # mix of < and > BUDGET/2, forces straddles
-        toks = [i * 1000 + k for k in range(n)]
-        rows.append((i, src, toks, n))
+        # ids unique only WITHIN a source (like the sequences table's
+        # numeric suffixes) — pins the (source, id) join-back keying
+        rows.append((i // 3, src,
+                     [i * 1000 + k for k in range(3 + (i * 7) % 60)],
+                     3 + (i * 7) % 60))
     df = spark.createDataFrame(
         rows, "doc_id long, source string, tokens array<long>, n_tok long")
     packs = pack_tokens(df, BUDGET, shard_size=8).collect()

@@ -1,0 +1,124 @@
+"""Paired N-vs-4N scaling evidence for the PHYSICAL packing operator
+(pack_tokens), mirroring scripts/scaling_bench.py's protocol: interleaved
+local[low]/local[high] spark-submit pairs over the same pre-generated
+sequences input, each pair carrying a same-minute CPU + memory-bandwidth
+host calibration (this VM's capacity drifts >2x minute-to-minute — a
+collapsed pair must be attributable to host vs engine).
+
+Writes BENCH/packing_scaling.json. Does NOT touch BENCH/scaling_last.json
+(the pipeline's north-rule record).
+
+Usage: python scripts/packing_scaling.py [--scale small] [--runs 3]
+       [--low 2 --high 8] [--budget 2048]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scaling_bench import (  # noqa: E402
+    SPARK_SUBMIT, WORKDIR, build_zip, cpu_calibration, gen_input,
+    membw_calibration)
+
+
+def run_packing(zpath: str, seq_path: str, cpus: int, budget: int,
+                runs: int) -> dict:
+    tmp = os.path.join(WORKDIR, "sparktmp")
+    os.makedirs(tmp, exist_ok=True)
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", f"local[{cpus}]",
+        "--py-files", zpath,
+        "--conf", f"spark.sql.shuffle.partitions={cpus}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.hadoop.parquet.hadoop.vectored.io.enabled=false",
+        "--conf", "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
+        "--conf", f"spark.local.dir={tmp}",
+        "--driver-memory", "16g",
+        os.path.join(ROOT, "hastl_spark", "plans", "packing_job.py"),
+        "--sequences-path", seq_path,
+        "--cpus", str(cpus),
+        "--budget", str(budget),
+        "--warmup", "1",
+        "--repeat", str(runs),
+    ]
+    env = dict(os.environ, PYTHONPATH=zpath,
+               OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
+               MKL_NUM_THREADS="1", NUMEXPR_NUM_THREADS="1")
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                          timeout=3600)
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert line, f"no JSON (rc={proc.returncode}):\n{proc.stderr[-3000:]}"
+    res = json.loads(line[-1])
+    return {"walls_s": res["walls"], "min_wall_s": min(res["walls"]),
+            "tokens": res["tokens"]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", default="small")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
+    ap.add_argument("--budget", type=int, default=2048)
+    args = ap.parse_args()
+
+    zpath = build_zip()
+    seq_path = gen_input(args.scale)
+
+    pairs, hi_walls, lo_walls, tokens = [], [], [], 0
+    for i in range(args.runs):
+        pcal = cpu_calibration(args.low, args.high)
+        pmem = membw_calibration(args.low, args.high)
+        hi = run_packing(zpath, seq_path, args.high, args.budget, 1)
+        lo = run_packing(zpath, seq_path, args.low, args.budget, 1)
+        tokens = hi["tokens"]
+        ratio = lo["min_wall_s"] / hi["min_wall_s"]
+        pairs.append({
+            "high_wall_s": hi["min_wall_s"],
+            "low_wall_s": lo["min_wall_s"],
+            "speedup": round(ratio, 3),
+            "efficiency": round(ratio / (args.high / args.low), 3),
+            "cpu_ceiling": pcal["ceiling"],
+            "membw_ceiling": pmem["ceiling"],
+        })
+        hi_walls.append(hi["min_wall_s"])
+        lo_walls.append(lo["min_wall_s"])
+        print(f"pair {i}: {pairs[-1]}", flush=True)
+
+    med = statistics.median(p["efficiency"] for p in pairs)
+    report = {
+        "job": "pack_tokens",
+        "scale": args.scale,
+        "budget": args.budget,
+        "tokens": tokens,
+        "low_cpus": args.low,
+        "high_cpus": args.high,
+        "protocol": "paired-interleaved",
+        "pairs": pairs,
+        "efficiency_median_pair": med,
+        "efficiency_best_pair": max(p["efficiency"] for p in pairs),
+        "high_min_wall_s": min(hi_walls),
+        "low_min_wall_s": min(lo_walls),
+        "high_tokens_per_sec": round(tokens / min(hi_walls), 1),
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    print(json.dumps(report))
+    os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    with open(os.path.join(ROOT, "BENCH", "packing_scaling.json"), "w") as f:
+        json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

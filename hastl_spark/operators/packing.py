@@ -83,7 +83,16 @@ def pack_sequences(df: DataFrame, budget: int, cost_col: str = "n_chars",
     )
     w_local = (Window.partitionBy("source", "_shard").orderBy("_id")
                .rowsBetween(Window.unboundedPreceding, 0))
-    local = d.withColumn("_lcum", F.sum("_cost").over(w_local))
+    # explicit floor on the window exchange: (source, _shard) cardinality is
+    # ~rows/shard_size + n_sources — small enough that hashing it into
+    # partitions ~ cores leaves collision stragglers carrying 2-4x the
+    # payload (the profiled round-3 scaling killer, gapfill.py's
+    # _grouped_map_partitions rationale). The window's required clustering
+    # is satisfied by this exchange, so no second shuffle is added.
+    from .gapfill import _grouped_map_partitions
+
+    local = (d.repartition(_grouped_map_partitions(d), "source", "_shard")
+             .withColumn("_lcum", F.sum("_cost").over(w_local)))
     totals = (d.select("source", "_shard", "_cost")
               .groupBy("source", "_shard").agg(F.sum("_cost").alias("_stot")))
     w_shard = (Window.partitionBy("source").orderBy("_shard")

@@ -179,6 +179,9 @@ def main():
                    "BroadcastHashJoin" in p or "BroadcastExchange" in p))
     checks.append(("packing cumsum window partitions by (source, _shard), "
                    "never source alone", local_sharded and not whole_source))
+    pparts = [int(m) for m in re.findall(_floor_re, p)]
+    checks.append(("packing window exchange respects the balance floor",
+                   bool(pparts) and min(pparts) >= 256))
 
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_report.py)\n"]
     out.append("## Checks\n")

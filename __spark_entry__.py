@@ -321,6 +321,16 @@ def q_fingerprints_portable(spark, sf_dir):
     return fingerprint_portable_np(_docs(spark, sf_dir))
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: distinct 16-gram overlap counts of every
+    doc against a deterministic ~1% benchmark subset (doc_id % 97 == 0),
+    broadcast-semi-join plan — the corpus never shuffles."""
+    from hastl_spark.operators.dedup import contamination_flags
+
+    docs = _docs(spark, sf_dir)
+    return contamination_flags(docs, docs.filter("doc_id % 97 = 0"), n=16)
+
+
 _PACK_BUDGET = 2048
 _MIX_RATES = {f"src{i}": ((i % 4) + 1) / 4 for i in range(64)}
 
@@ -503,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_real_decode": q_media_real_decode,
         "minhash_pairs": q_minhash_pairs,
         "ann_topk": q_ann_topk,
+        "contamination": q_contamination,
         "pack_assignments": q_pack_assignments,
         "packs_summary": q_packs_summary,
         "pack_tokens": q_pack_tokens,
@@ -849,6 +860,26 @@ def oracle_sql() -> dict[str, str]:
               FROM sm GROUP BY i, nch, nsamp
             )
             SELECT * FROM img_stats UNION ALL SELECT * FROM aud_stats
+        """,
+        "contamination": """
+            WITH bench AS (
+              SELECT DISTINCT substr(text, g, 16) AS ngram
+              FROM documents,
+                   unnest(range(1, greatest(length(text) - 15, 1) + 1)) AS u(g)
+              WHERE doc_id % 97 = 0 AND length(substr(text, g, 16)) = 16
+            ), dg AS (
+              SELECT DISTINCT doc_id, substr(text, g, 16) AS ngram
+              FROM documents,
+                   unnest(range(1, greatest(length(text) - 15, 1) + 1)) AS u(g)
+              WHERE length(substr(text, g, 16)) = 16
+            ), h AS (
+              SELECT doc_id, count(*) AS n_hits
+              FROM dg JOIN bench USING (ngram) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN h USING (doc_id)
         """,
         "pack_assignments": f"""
             WITH c AS (

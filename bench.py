@@ -40,7 +40,8 @@ HEADLINE = [
     "dow_profile", "sessions", "lineitem_pricing", "revenue_by_nation",
     "docs_stats", "docs_quality", "docs_lang", "docs_tokens_bpe",
     "docs_scrubbed", "docs_exact_dedup", "docs_jaccard_pairs",
-    "dup_groups", "minhash_portable", "minhash_pairs", "simhash_portable",
+    "dup_groups", "contamination",
+    "minhash_portable", "minhash_pairs", "simhash_portable",
     "embedding_near_dups", "fingerprints_portable",
     "embeddings_knn", "embeddings_quantized", "label_centroid_norm",
     "ann_topk", "ivf_topk_full",

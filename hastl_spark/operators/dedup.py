@@ -21,6 +21,32 @@ from pyspark.sql import functions as F
 from .text import char_ngrams, poly_hash_sql
 
 
+def contamination_flags(docs: DataFrame, benchmark: DataFrame, n: int = 16,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: per document, how many DISTINCT benchmark
+    ``n``-gram shingles it contains (``n_hits``) and a ``contaminated``
+    flag. The standard pre-training hygiene pass that drops documents
+    overlapping an eval set.
+
+    Scale shape: the benchmark shingle set is tiny next to the corpus, so
+    it BROADCASTS and the corpus never shuffles — doc shingles stream
+    through the codegen explode straight into the broadcast hash join, and
+    only HIT rows (a vanishing fraction) reach the per-doc count. The final
+    left join back to ids is corpus-sized but carries only (id) vs
+    (id, n_hits).
+    """
+    bench = char_ngrams(benchmark, n=n, text_col=text_col,
+                        id_col=id_col).select("ngram").distinct()
+    hits = (char_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
+            .join(F.broadcast(bench), "ngram")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits")))
+    return (docs.select(id_col).join(hits, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated")))
+
+
 def exact_dup_groups(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Group identical texts: (keep_id = min doc_id, dup_cnt) per distinct

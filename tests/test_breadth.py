@@ -373,6 +373,30 @@ def test_embedding_near_dups_bucket_cap_drops_hot_buckets(spark, embs):
     assert stats.count() > 0  # the cap is auditable, not silent
 
 
+def test_contamination_flags_planted_overlap(spark):
+    """A doc embedding an exact benchmark 16-gram is flagged; clean docs get
+    n_hits == 0; the benchmark doc itself self-flags. Hit counts are exact
+    distinct-shingle counts."""
+    from hastl_spark.operators.dedup import contamination_flags
+
+    bench_txt = "the secret benchmark answer is forty-two exactly"
+    docs = spark.createDataFrame(
+        [(0, bench_txt),                                  # the benchmark doc
+         (1, "prefix " + bench_txt[5:29] + " suffix"),    # 24-char overlap
+         (2, "completely unrelated content with no overlap at all xyz"),
+         (3, "short")],                                   # < 16 chars: 0 grams
+        "doc_id long, text string")
+    bench = docs.filter("doc_id = 0")
+    got = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in contamination_flags(docs, bench, n=16).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0][0] == len(bench_txt) - 15 and got[0][1]   # self-overlap
+    # a 24-char shared span contains 24-16+1 = 9 distinct 16-grams
+    assert got[1] == (9, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+
+
 def test_dup_group_labels_connected_components(spark):
     from hastl_spark.operators.dedup import dup_group_labels
 

@@ -72,6 +72,11 @@ def main():
     ap.add_argument("--low", type=int, default=2)
     ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--budget", type=int, default=2048)
+    ap.add_argument("--per-side-repeat", type=int, default=3,
+                    help="timed executions inside EACH side's JVM; the pair "
+                         "ratio compares the two MINs — the ~6-20s packing "
+                         "job is short enough that single-shot sides made "
+                         "pair ratios minute-drift lottery tickets")
     args = ap.parse_args()
 
     zpath = build_zip()
@@ -81,8 +86,10 @@ def main():
     for i in range(args.runs):
         pcal = cpu_calibration(args.low, args.high)
         pmem = membw_calibration(args.low, args.high)
-        hi = run_packing(zpath, seq_path, args.high, args.budget, 1)
-        lo = run_packing(zpath, seq_path, args.low, args.budget, 1)
+        hi = run_packing(zpath, seq_path, args.high, args.budget,
+                         args.per_side_repeat)
+        lo = run_packing(zpath, seq_path, args.low, args.budget,
+                         args.per_side_repeat)
         tokens = hi["tokens"]
         ratio = lo["min_wall_s"] / hi["min_wall_s"]
         pairs.append({

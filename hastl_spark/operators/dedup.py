@@ -257,7 +257,7 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
 
 def dup_group_labels(nodes: DataFrame, pairs: DataFrame, max_iter: int = 20,
                      id_col: str = "doc_id",
-                     driver_edge_limit: int = 4_000_000) -> DataFrame:
+                     driver_edge_limit: int = 1_000_000) -> DataFrame:
     """Resolve near-dup PAIRS into GROUPS: connected components by iterative
     min-label propagation — the step that turns any pair-producing dedup
     operator (Jaccard, MinHash LSH, SimHash, embedding near-dup) into an
@@ -286,7 +286,11 @@ def dup_group_labels(nodes: DataFrame, pairs: DataFrame, max_iter: int = 20,
     count per round. Semantics are identical (group = min reachable id;
     pinned by a both-paths-equal test); above the limit the distributed loop
     runs, so a pathological pair blowup at 100 TB degrades to the scalable
-    path, never to a driver OOM.
+    path, never to a driver OOM. Size the limit to the driver: 1M pairs is
+    ~100-200 MB of Row objects + an up-to-2M-row createDataFrame — fine on
+    multi-GB drivers, a latency/memory cliff at much larger values (the
+    collect cost just below the threshold should stay well under one
+    propagation round).
     """
     import warnings
 

@@ -18,7 +18,6 @@ import argparse
 import json
 import os
 import statistics
-import subprocess
 import sys
 import time
 
@@ -26,41 +25,18 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from scaling_bench import (  # noqa: E402
-    SPARK_SUBMIT, WORKDIR, build_zip, cpu_calibration, gen_input,
-    membw_calibration)
+    build_zip, cpu_calibration, gen_input, membw_calibration, submit_job)
 
 
 def run_packing(zpath: str, seq_path: str, cpus: int, budget: int,
                 runs: int) -> dict:
-    tmp = os.path.join(WORKDIR, "sparktmp")
-    os.makedirs(tmp, exist_ok=True)
-    cmd = [
-        SPARK_SUBMIT,
-        "--master", f"local[{cpus}]",
-        "--py-files", zpath,
-        "--conf", f"spark.sql.shuffle.partitions={cpus}",
-        "--conf", "spark.sql.adaptive.enabled=true",
-        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
-        "--conf", "spark.sql.session.timeZone=UTC",
-        "--conf", "spark.hadoop.parquet.hadoop.vectored.io.enabled=false",
-        "--conf", "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
-        "--conf", f"spark.local.dir={tmp}",
-        "--driver-memory", "16g",
-        os.path.join(ROOT, "hastl_spark", "plans", "packing_job.py"),
+    res = submit_job(zpath, "packing_job.py", [
         "--sequences-path", seq_path,
         "--cpus", str(cpus),
         "--budget", str(budget),
         "--warmup", "1",
         "--repeat", str(runs),
-    ]
-    env = dict(os.environ, PYTHONPATH=zpath,
-               OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
-               MKL_NUM_THREADS="1", NUMEXPR_NUM_THREADS="1")
-    proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                          timeout=3600)
-    line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-    assert line, f"no JSON (rc={proc.returncode}):\n{proc.stderr[-3000:]}"
-    res = json.loads(line[-1])
+    ], cpus)
     return {"walls_s": res["walls"], "min_wall_s": min(res["walls"]),
             "tokens": res["tokens"]}
 

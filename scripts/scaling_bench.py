@@ -124,9 +124,13 @@ def gen_input(scale: str) -> str:
     return path
 
 
-def run_config(zpath: str, seq_path: str, cpus: int, runs: int) -> dict:
-    out = os.path.join(WORKDIR, f"scaling_out_c{cpus}")
-    shutil.rmtree(out, ignore_errors=True)
+def submit_job(zpath: str, job_script: str, job_args: list[str],
+               cpus: int) -> dict:
+    """spark-submit a repo job under the pinned benchmark configuration and
+    return its one-line JSON. Shared by this script and
+    scripts/packing_scaling.py so both scaling harnesses measure under
+    IDENTICAL confs — a conf tweak applied to one but not the other would
+    silently compare different engines."""
     tmp = os.path.join(WORKDIR, "sparktmp")
     os.makedirs(tmp, exist_ok=True)
     cmd = [
@@ -141,13 +145,8 @@ def run_config(zpath: str, seq_path: str, cpus: int, runs: int) -> dict:
         "--conf", "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
         "--conf", f"spark.local.dir={tmp}",
         "--driver-memory", "16g",
-        os.path.join(ROOT, "hastl_spark", "plans", "rollup_job.py"),
-        "--sequences-path", seq_path,
-        "--out", out,
-        "--cpus", str(cpus),
-        "--warmup", "1",
-        "--repeat", str(runs),
-        "--profile-stages",
+        os.path.join(ROOT, "hastl_spark", "plans", job_script),
+        *job_args,
     ]
     # pin BLAS/OMP to one thread per python worker: otherwise local[2]
     # silently borrows extra host cores inside the pandas UDFs and the
@@ -159,7 +158,20 @@ def run_config(zpath: str, seq_path: str, cpus: int, runs: int) -> dict:
     proc = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     assert line, f"no JSON from spark-submit (rc={proc.returncode}):\n{proc.stderr[-3000:]}"
-    res = json.loads(line[-1])
+    return json.loads(line[-1])
+
+
+def run_config(zpath: str, seq_path: str, cpus: int, runs: int) -> dict:
+    out = os.path.join(WORKDIR, f"scaling_out_c{cpus}")
+    shutil.rmtree(out, ignore_errors=True)
+    res = submit_job(zpath, "rollup_job.py", [
+        "--sequences-path", seq_path,
+        "--out", out,
+        "--cpus", str(cpus),
+        "--warmup", "1",
+        "--repeat", str(runs),
+        "--profile-stages",
+    ], cpus)
     shutil.rmtree(out, ignore_errors=True)
     walls = res["walls"]
     return {

@@ -86,7 +86,8 @@ def test_pack_tokens_preserves_stream_and_fills_packs(spark):
     for i in range(90):
         src = f"s{i % 3}"
         # ids unique only WITHIN a source (like the sequences table's
-        # numeric suffixes) — pins the (source, id) join-back keying
+        # numeric suffixes) — pins cross-source duplicate-id handling
+        # through the (source, _shard) partitioning and carried payloads
         rows.append((i // 3, src,
                      [i * 1000 + k for k in range(3 + (i * 7) % 60)],
                      3 + (i * 7) % 60))

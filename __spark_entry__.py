@@ -473,6 +473,80 @@ def q_trend_strength(spark, sf_dir):
                           n_keys=5)
 
 
+def q_asof_enrich(spark, sf_dir):
+    """As-of join: each event gets the rollup of the most recent fully
+    COMPLETED hour for its event_type (union-merge window plan — one
+    shuffle, no theta-join; DuckDB reproduces it with a native ASOF JOIN)."""
+    from hastl_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "ts")
+    r = (
+        _events(spark, sf_dir)
+        .groupBy("event_type",
+                 (F.date_trunc("hour", "ts") + F.expr("INTERVAL 1 HOUR")).alias("bucket_end"))
+        .agg(F.count(F.lit(1)).alias("prev_cnt"))
+    )
+    out = asof_join(ev, r, by="event_type", left_on="ts", right_on="bucket_end",
+                    direction="backward")
+    return out.select("event_id", "event_type", "ts", "prev_cnt",
+                      F.col("matched_bucket_end"))
+
+
+def _dense_1h_rounded(spark, sf_dir):
+    h1 = _rollup_events_1h_raw(spark, sf_dir)
+    dense = densify_grid(h1, bucket_seconds=3600, key_col="event_type")
+    return dense.select("event_type", "bucket", "cnt",
+                        F.round("sum_value", 4).alias("sum_value"))
+
+
+def q_gapfill_locf_1h(spark, sf_dir):
+    """TimescaleDB-style locf() over the densified hourly grid (relational
+    twin of the STL gap-fill; leading nulls stay null)."""
+    from hastl_spark.operators.interpolate import locf
+
+    dense = _dense_1h_rounded(spark, sf_dir)
+    return locf(dense, ["cnt", "sum_value"], key_col="event_type",
+                order_col="bucket")
+
+
+def q_gapfill_linear_1h(spark, sf_dir):
+    """TimescaleDB-style interpolate(): linear across interior gaps of the
+    hourly sum_value series; edges stay null."""
+    from hastl_spark.operators.interpolate import linear_interpolate
+
+    dense = _dense_1h_rounded(spark, sf_dir)
+    out = linear_interpolate(dense, ["sum_value"], key_col="event_type",
+                             order_col="bucket")
+    return out.select("event_type", "bucket", "cnt",
+                      F.round("sum_value", 4).alias("sum_value"))
+
+
+def q_anomalies_1h(spark, sf_dir):
+    """Distribution-free anomaly flags on the hourly count series:
+    |0.6745*(x-median)/MAD| > 3 per event_type (exact medians — the same
+    interpolated-median semantics as DuckDB, so fully oracle-checkable)."""
+    from hastl_spark.operators.anomaly import robust_zscore_anomalies
+
+    h1 = _rollup_events_1h_raw(spark, sf_dir).select("event_type", "bucket", "cnt")
+    out = robust_zscore_anomalies(h1, value_col="cnt", key_col="event_type",
+                                  threshold=3.0)
+    return out.select("event_type", "bucket", "cnt",
+                      F.round("med", 6).alias("med"),
+                      F.round("mad", 6).alias("mad"),
+                      F.round("z", 6).alias("z"))
+
+
+def q_downsample_ltob(spark, sf_dir):
+    """Largest-Triangle-One-Bucket decimation of the hourly count series to
+    48 points per event_type (SQL-portable twin of the exact LTTB operator,
+    which is pinned by tests/test_timeseries_ops.py)."""
+    from hastl_spark.operators.downsample import ltob
+
+    h1 = _rollup_events_1h_raw(spark, sf_dir).select("event_type", "bucket", "cnt")
+    return ltob(h1, 48, key_col="event_type", order_col="bucket",
+                value_col="cnt")
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -518,6 +592,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packs_summary": q_packs_summary,
         "pack_tokens": q_pack_tokens,
         "mixture_sample": q_mixture_sample,
+        "asof_enrich": q_asof_enrich,
+        "gapfill_locf_1h": q_gapfill_locf_1h,
+        "gapfill_linear_1h": q_gapfill_linear_1h,
+        "anomalies_1h": q_anomalies_1h,
+        "downsample_ltob": q_downsample_ltob,
         # rows-only (no SQL equivalent: the STL/LOESS numeric kernels)
         "stl_gapfill_1h": q_stl_gapfill_1h,
         "loess_smooth_1h": q_loess_smooth_1h,
@@ -963,4 +1042,125 @@ def oracle_sql() -> dict[str, str]:
                          ).mixture_sample_where_sql(_MIX_RATES,
                                                     default_rate=0.5)
         ),
+        "asof_enrich": """
+            WITH r AS (
+              SELECT event_type,
+                     date_trunc('hour', ts) + INTERVAL 1 HOUR AS bucket_end,
+                     count(*) AS prev_cnt
+              FROM events GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.event_type, e.ts, r.prev_cnt,
+                   r.bucket_end AS matched_bucket_end
+            FROM events e ASOF LEFT JOIN r
+              ON e.event_type = r.event_type AND e.ts >= r.bucket_end
+        """,
+        "gapfill_locf_1h": """
+            WITH r AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket,
+                     count(*) AS cnt, round(sum(value), 4) AS sum_value
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT event_type, min(bucket) b_min, max(bucket) b_max FROM r GROUP BY 1
+            ), grid AS (
+              SELECT event_type,
+                     unnest(generate_series(b_min, b_max, INTERVAL 1 HOUR)) AS bucket
+              FROM bounds
+            ), d AS (
+              SELECT g.event_type, g.bucket, r.cnt, r.sum_value
+              FROM grid g LEFT JOIN r ON g.event_type = r.event_type AND g.bucket = r.bucket
+            )
+            SELECT event_type, bucket,
+                   last_value(cnt IGNORE NULLS) OVER w AS cnt,
+                   last_value(sum_value IGNORE NULLS) OVER w AS sum_value
+            FROM d WINDOW w AS (
+              PARTITION BY event_type ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "gapfill_linear_1h": """
+            WITH r AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket,
+                     count(*) AS cnt, round(sum(value), 4) AS sum_value
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT event_type, min(bucket) b_min, max(bucket) b_max FROM r GROUP BY 1
+            ), grid AS (
+              SELECT event_type,
+                     unnest(generate_series(b_min, b_max, INTERVAL 1 HOUR)) AS bucket
+              FROM bounds
+            ), d AS (
+              SELECT g.event_type, g.bucket, r.cnt, r.sum_value
+              FROM grid g LEFT JOIN r ON g.event_type = r.event_type AND g.bucket = r.bucket
+            ), win AS (
+              SELECT event_type, bucket, cnt, sum_value,
+                     CAST(epoch(bucket) AS DOUBLE) AS t,
+                     last_value(sum_value IGNORE NULLS) OVER wb AS pv,
+                     last_value(CASE WHEN sum_value IS NOT NULL
+                                     THEN CAST(epoch(bucket) AS DOUBLE) END
+                                IGNORE NULLS) OVER wb AS pt,
+                     first_value(sum_value IGNORE NULLS) OVER wf AS nv,
+                     first_value(CASE WHEN sum_value IS NOT NULL
+                                      THEN CAST(epoch(bucket) AS DOUBLE) END
+                                 IGNORE NULLS) OVER wf AS nt
+              FROM d WINDOW
+                wb AS (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                wf AS (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_type, bucket, cnt,
+                   round(CASE WHEN sum_value IS NOT NULL THEN sum_value
+                              WHEN pv IS NOT NULL AND nv IS NOT NULL
+                              THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+                         END, 4) AS sum_value
+            FROM win
+        """,
+        "anomalies_1h": """
+            WITH r AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS cnt
+              FROM events GROUP BY 1, 2
+            ), m AS (
+              SELECT event_type, median(CAST(cnt AS DOUBLE)) AS med FROM r GROUP BY 1
+            ), d AS (
+              SELECT r.event_type,
+                     median(abs(CAST(r.cnt AS DOUBLE) - m.med)) AS mad,
+                     min(m.med) AS med
+              FROM r JOIN m USING (event_type) GROUP BY 1
+            )
+            SELECT r.event_type, r.bucket, r.cnt,
+                   round(d.med, 6) AS med, round(d.mad, 6) AS mad,
+                   round(0.6745 * (CAST(r.cnt AS DOUBLE) - d.med) / d.mad, 6) AS z
+            FROM r JOIN d USING (event_type)
+            WHERE d.mad > 0
+              AND abs(0.6745 * (CAST(r.cnt AS DOUBLE) - d.med) / d.mad) > 3.0
+        """,
+        "downsample_ltob": """
+            WITH r AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS cnt
+              FROM events GROUP BY 1, 2
+            ), s AS (
+              SELECT event_type, bucket, cnt,
+                     row_number() OVER w - 1 AS i,
+                     count(*) OVER (PARTITION BY event_type) AS n,
+                     CAST(epoch(bucket) AS DOUBLE) AS x,
+                     CAST(cnt AS DOUBLE) AS y,
+                     lag(CAST(epoch(bucket) AS DOUBLE)) OVER w AS x0,
+                     lag(CAST(cnt AS DOUBLE)) OVER w AS y0,
+                     lead(CAST(epoch(bucket) AS DOUBLE)) OVER w AS x2,
+                     lead(CAST(cnt AS DOUBLE)) OVER w AS y2
+              FROM r WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+            ), a AS (
+              SELECT event_type, bucket, cnt,
+                     CAST(floor(i * 48 / n) AS BIGINT) AS slot,
+                     CASE WHEN i = 0 OR i = n - 1 THEN CAST('infinity' AS DOUBLE)
+                          ELSE abs((x0 - x2) * (y - y2) - (x - x2) * (y0 - y2))
+                     END AS area
+              FROM s
+            )
+            SELECT event_type, bucket, cnt FROM (
+              SELECT event_type, bucket, cnt,
+                     row_number() OVER (PARTITION BY event_type, slot
+                                        ORDER BY area DESC, bucket) AS rk
+              FROM a
+            ) WHERE rk = 1
+        """,
     }

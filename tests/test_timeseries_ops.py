@@ -1,0 +1,190 @@
+"""Tests for the relational timeseries ops: as-of join, LOCF/linear
+interpolation, LTOB/LTTB downsampling, robust-z anomalies.
+
+As-of is pinned against ``pandas.merge_asof`` (independent oracle);
+LTTB against a naive pure-Python transliteration of Steinarsson 2013.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hastl_spark.operators.anomaly import robust_zscore_anomalies
+from hastl_spark.operators.asof import asof_join
+from hastl_spark.operators.downsample import _lttb_series, ltob, lttb
+from hastl_spark.operators.interpolate import linear_interpolate, locf
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(seconds):
+    return EPOCH + dt.timedelta(seconds=int(seconds))
+
+
+def _mk_asof_frames(spark, seed=7, n_left=400, n_right=60, n_keys=3):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "key": [f"k{int(i)}" for i in rng.integers(0, n_keys, n_left)],
+        "ts": [_ts(s) for s in rng.choice(10**5, n_left, replace=False)],
+        "ev": np.arange(n_left, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "key": [f"k{int(i)}" for i in rng.integers(0, n_keys, n_right)],
+        "rt": [_ts(s) for s in rng.choice(10**5, n_right, replace=False)],
+        "payload": rng.integers(0, 1000, n_right).astype(np.int64),
+    })
+    return left, right
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_matches_pandas(spark, direction):
+    left, right = _mk_asof_frames(spark)
+    got = (
+        asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            by="key", left_on="ts", right_on="rt", direction=direction,
+        )
+        .toPandas().sort_values("ev").reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("rt"),
+        left_on="ts", right_on="rt", by="key", direction=direction,
+    ).sort_values("ev").reset_index(drop=True)
+    assert list(got["payload"].fillna(-1)) == list(exp["payload"].fillna(-1))
+    assert list(pd.to_datetime(got["matched_rt"]).fillna(pd.Timestamp(0))) == list(
+        pd.to_datetime(exp["rt"]).fillna(pd.Timestamp(0))
+    )
+
+
+def test_asof_join_tolerance_and_ties(spark):
+    left, right = _mk_asof_frames(spark, seed=11)
+    # Plant an exact-tie row: inclusive backward must match it.
+    left.loc[0, ["key", "ts"]] = ["k0", right.loc[0, "rt"]]
+    left.loc[0, "key"] = right.loc[0, "key"]
+    tol = 5000
+    got = (
+        asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            by="key", left_on="ts", right_on="rt", tolerance_seconds=tol,
+        )
+        .toPandas().sort_values("ev").reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("rt"),
+        left_on="ts", right_on="rt", by="key",
+        tolerance=pd.Timedelta(seconds=tol),
+    ).sort_values("ev").reset_index(drop=True)
+    assert list(got["payload"].fillna(-1)) == list(exp["payload"].fillna(-1))
+    tie = got[got["ev"] == 0].iloc[0]
+    assert tie["matched_rt"] == right.loc[0, "rt"]
+
+
+def _grid_df(spark):
+    rows = [
+        ("a", _ts(0), 10.0), ("a", _ts(60), None), ("a", _ts(120), None),
+        ("a", _ts(180), 40.0), ("a", _ts(240), None),
+        ("b", _ts(0), None), ("b", _ts(60), 5.0), ("b", _ts(120), None),
+    ]
+    return spark.createDataFrame(rows, "key string, bucket timestamp, v double")
+
+
+def test_locf(spark):
+    out = locf(_grid_df(spark), ["v"], key_col="key").toPandas()
+    out = out.sort_values(["key", "bucket"]).reset_index(drop=True)
+    assert list(out["v"].fillna(-1)) == [10.0, 10.0, 10.0, 40.0, 40.0, -1, 5.0, 5.0]
+
+
+def test_linear_interpolate(spark):
+    out = linear_interpolate(_grid_df(spark), ["v"], key_col="key").toPandas()
+    out = out.sort_values(["key", "bucket"]).reset_index(drop=True)
+    a = list(out["v"][:5])
+    assert a[0] == 10.0 and a[3] == 40.0
+    assert a[1] == 20.0 and a[2] == 30.0  # interior gap: exact thirds
+    assert a[4] is None or np.isnan(a[4])  # trailing stays null
+    b = list(out["v"][5:])
+    assert (b[0] is None or np.isnan(b[0])) and b[1] == 5.0
+
+
+def _series_df(spark, n=500, seed=3):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for key in ("a", "b"):
+        vals = rng.integers(0, 100, n)
+        rows += [(key, _ts(i * 3600), int(v)) for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "key string, bucket timestamp, cnt long")
+
+
+def test_ltob_shape_and_endpoints(spark):
+    df = _series_df(spark)
+    out = ltob(df, 40, key_col="key").toPandas().sort_values(["key", "bucket"])
+    for key, grp in out.groupby("key"):
+        assert len(grp) == 40
+        assert grp["bucket"].iloc[0] == _ts(0)
+        assert grp["bucket"].iloc[-1] == _ts(499 * 3600)
+    # Determinism: run twice, identical selection.
+    out2 = ltob(df, 40, key_col="key").toPandas().sort_values(["key", "bucket"])
+    assert list(out["bucket"]) == list(out2["bucket"])
+
+
+def _naive_lttb(x, y, n_out):
+    """Independent transliteration of Steinarsson 2013, pure Python."""
+    n = len(x)
+    if n_out >= n:
+        return list(range(n))
+    every = (n - 2) / (n_out - 2)
+    sel = [0]
+    a = 0
+    for i in range(n_out - 2):
+        lo = int(np.floor(i * every)) + 1
+        hi = int(np.floor((i + 1) * every)) + 1
+        nlo = hi
+        nhi = min(int(np.floor((i + 2) * every)) + 1, n) if i + 1 < n_out - 2 else n
+        cx = sum(x[nlo:nhi]) / (nhi - nlo)
+        cy = sum(y[nlo:nhi]) / (nhi - nlo)
+        best, best_area = lo, -1.0
+        for j in range(lo, hi):
+            # Shoelace form — algebraically independent of the kernel's
+            # cross-product form.
+            area = abs(x[a] * (y[j] - cy) + x[j] * (cy - y[a]) + cx * (y[a] - y[j])) / 2
+            if area > best_area:
+                best, best_area = j, area
+        sel.append(best)
+        a = best
+    sel.append(n - 1)
+    return sel
+
+
+def test_lttb_kernel_vs_naive():
+    rng = np.random.default_rng(5)
+    for n, n_out in [(100, 10), (503, 37), (50, 50), (10, 3)]:
+        x = np.cumsum(rng.integers(1, 5, n)).astype(np.float64)
+        y = rng.normal(size=n)
+        got = list(_lttb_series(x, y, n_out))
+        exp = _naive_lttb(list(x), list(y), n_out)
+        assert got == exp, (n, n_out)
+
+
+def test_lttb_spark_matches_kernel(spark):
+    df = _series_df(spark, n=300)
+    out = lttb(df, 25, key_col="key").toPandas().sort_values(["key", "bucket"])
+    pdf = df.toPandas().sort_values(["key", "bucket"])
+    for key, grp in pdf.groupby("key"):
+        xs = grp["bucket"].astype("int64").to_numpy().astype(np.float64)
+        ys = grp["cnt"].to_numpy().astype(np.float64)
+        keep = grp.iloc[_lttb_series(xs, ys, 25)]
+        got = out[out["key"] == key]
+        assert list(got["bucket"]) == list(keep["bucket"])
+
+
+def test_robust_zscore_flags_planted_outlier(spark):
+    rows = [("a", _ts(i * 3600), 50 + (i % 3)) for i in range(100)]
+    rows[40] = ("a", _ts(40 * 3600), 500)  # planted spike
+    rows += [("b", _ts(i * 3600), 7) for i in range(50)]  # constant: MAD=0
+    df = spark.createDataFrame(rows, "key string, bucket timestamp, cnt long")
+    out = robust_zscore_anomalies(df, value_col="cnt", key_col="key").toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["bucket"] == _ts(40 * 3600) and out.iloc[0]["key"] == "a"

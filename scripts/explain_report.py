@@ -183,6 +183,22 @@ def main():
     checks.append(("packing window exchange respects the balance floor",
                    bool(pparts) and min(pparts) >= 256))
 
+    # 10. as-of join: the union-merge plan must contain NO join operator at
+    # all (the naive formulation is a theta-join / BroadcastNestedLoop) —
+    # one Union, one Window, and a single key exchange feeding it (the only
+    # other exchange allowed is the right side's own rollup aggregation).
+    import __spark_entry__ as entrymod
+
+    p = plan_of(entrymod.queries()["asof_enrich"](spark, "/root/testdata/sf0.001"))
+    sections["asof_enrich (union-merge as-of join)"] = p
+    n_exch = len(re.findall(r"Exchange \(\d+\)", p))
+    checks.append(("as-of join has no Join operator (union-merge, not theta)",
+                   "Join" not in p and "CartesianProduct" not in p))
+    checks.append(("as-of join is one Union + one Window + <=2 exchanges",
+                   len(re.findall(r"Union \(\d+\)", p)) == 1
+                   and len(re.findall(r"Window \(\d+\)", p)) == 1
+                   and n_exch <= 2))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_report.py)\n"]
     out.append("## Checks\n")
     for name, ok in checks:

@@ -25,6 +25,11 @@ is small relative to a partition).
 ``direction="backward"`` matches right rows with time <= left time
 (inclusive); ``"forward"`` matches time >= left time.  ``tolerance_seconds``
 nulls out matches further than the tolerance, like ``pandas.merge_asof``.
+
+If ``right`` holds duplicate (by, time) rows, the one sorting last in the
+window order wins for backward (first for forward) — deterministic only
+if the right side is unique per (by, time), which aggregated tiers are;
+dedupe first otherwise (``pandas.merge_asof`` has the same caveat).
 """
 
 from __future__ import annotations

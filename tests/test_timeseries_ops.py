@@ -188,3 +188,60 @@ def test_robust_zscore_flags_planted_outlier(spark):
     out = robust_zscore_anomalies(df, value_col="cnt", key_col="key").toPandas()
     assert len(out) == 1
     assert out.iloc[0]["bucket"] == _ts(40 * 3600) and out.iloc[0]["key"] == "a"
+
+
+def test_asof_join_empty_right(spark):
+    left, right = _mk_asof_frames(spark, n_left=50)
+    empty = spark.createDataFrame([], "key string, rt timestamp, payload long")
+    out = asof_join(
+        spark.createDataFrame(left), empty,
+        by="key", left_on="ts", right_on="rt",
+    ).toPandas()
+    assert len(out) == 50 and out["payload"].isna().all()
+    assert out["matched_rt"].isna().all()
+
+
+def test_asof_join_forward_with_tolerance(spark):
+    left, right = _mk_asof_frames(spark, seed=23)
+    tol = 2000
+    got = (
+        asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            by="key", left_on="ts", right_on="rt",
+            direction="forward", tolerance_seconds=tol,
+        )
+        .toPandas().sort_values("ev").reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("rt"),
+        left_on="ts", right_on="rt", by="key", direction="forward",
+        tolerance=pd.Timedelta(seconds=tol),
+    ).sort_values("ev").reset_index(drop=True)
+    assert list(got["payload"].fillna(-1)) == list(exp["payload"].fillna(-1))
+
+
+def test_asof_join_rejects_collisions_and_bad_direction(spark):
+    left, right = _mk_asof_frames(spark)
+    ldf = spark.createDataFrame(left.rename(columns={"ev": "payload"}))
+    rdf = spark.createDataFrame(right)
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(ldf, rdf, by="key", left_on="ts", right_on="rt")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(spark.createDataFrame(left), rdf, by="key",
+                  left_on="ts", right_on="rt", direction="nearest")
+
+
+def test_linear_interpolate_short_series(spark):
+    rows = [("a", _ts(0), None), ("b", _ts(0), 3.0), ("b", _ts(60), None)]
+    df = spark.createDataFrame(rows, "key string, bucket timestamp, v double")
+    out = (linear_interpolate(df, ["v"], key_col="key")
+           .toPandas().sort_values(["key", "bucket"]).reset_index(drop=True))
+    assert np.isnan(out["v"][0])          # singleton null stays null
+    assert out["v"][1] == 3.0 and np.isnan(out["v"][2])  # no right bracket
+
+
+def test_ltob_short_series_keeps_everything(spark):
+    rows = [("a", _ts(i * 3600), i + 1) for i in range(5)]
+    df = spark.createDataFrame(rows, "key string, bucket timestamp, cnt long")
+    out = ltob(df, 48, key_col="key").toPandas()
+    assert len(out) == 5  # n < n_out: every point lands in its own slot

@@ -245,3 +245,82 @@ def test_ltob_short_series_keeps_everything(spark):
     df = spark.createDataFrame(rows, "key string, bucket timestamp, cnt long")
     out = ltob(df, 48, key_col="key").toPandas()
     assert len(out) == 5  # n < n_out: every point lands in its own slot
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_bucketed_equals_plain(spark, direction):
+    """Bucketed (skew-safe) as-of must be row-identical to the per-key
+    window plan — small buckets force heavy carry-row usage."""
+    from hastl_spark.operators.asof import asof_join_bucketed
+
+    left, right = _mk_asof_frames(spark, seed=17, n_left=500, n_right=40)
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    kwargs = dict(by="key", left_on="ts", right_on="rt", direction=direction)
+    plain = asof_join(ldf, rdf, **kwargs)
+    for bs in (1000, 3600, 10**6):
+        buck = asof_join_bucketed(ldf, rdf, bucket_seconds=bs, **kwargs)
+        diff = plain.exceptAll(buck).count() + buck.exceptAll(plain).count()
+        assert diff == 0, (direction, bs)
+
+
+def test_asof_bucketed_tolerance_and_skew(spark):
+    """One key holds 90% of rows (the straggler shape) + tolerance gate."""
+    from hastl_spark.operators.asof import asof_join_bucketed
+
+    rng = np.random.default_rng(41)
+    n = 2000
+    keys = np.where(rng.random(n) < 0.9, "hot", "cold")
+    left = pd.DataFrame({
+        "key": keys,
+        "ts": [_ts(s) for s in rng.choice(10**6, n, replace=False)],
+        "ev": np.arange(n, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "key": ["hot"] * 30 + ["cold"] * 10,
+        "rt": [_ts(s) for s in rng.choice(10**6, 40, replace=False)],
+        "payload": np.arange(40, dtype=np.int64),
+    })
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    kwargs = dict(by="key", left_on="ts", right_on="rt",
+                  tolerance_seconds=50_000)
+    plain = asof_join(ldf, rdf, **kwargs)
+    buck = asof_join_bucketed(ldf, rdf, bucket_seconds=25_000, **kwargs)
+    assert plain.exceptAll(buck).count() + buck.exceptAll(plain).count() == 0
+    # and against pandas directly
+    got = buck.toPandas().sort_values("ev").reset_index(drop=True)
+    exp = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("rt"),
+        left_on="ts", right_on="rt", by="key",
+        tolerance=pd.Timedelta(seconds=50_000),
+    ).sort_values("ev").reset_index(drop=True)
+    assert list(got["payload"].fillna(-1)) == list(exp["payload"].fillna(-1))
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_broadcast_equals_plain(spark, direction):
+    """Zero-shuffle broadcast as-of must be row-identical to the window
+    plan, including keys absent from the right side and the tolerance
+    gate."""
+    from hastl_spark.operators.asof import asof_join_broadcast
+
+    left, right = _mk_asof_frames(spark, seed=53, n_left=500, n_right=40,
+                                  n_keys=5)
+    right = right[right["key"] != "k0"]  # k0 left rows must come back null
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    for tol in (None, 8000):
+        kwargs = dict(by="key", left_on="ts", right_on="rt",
+                      direction=direction, tolerance_seconds=tol)
+        plain = asof_join(ldf, rdf, **kwargs)
+        bcast = asof_join_broadcast(ldf, rdf, **kwargs)
+        diff = plain.exceptAll(bcast).count() + bcast.exceptAll(plain).count()
+        assert diff == 0, (direction, tol)
+
+
+def test_asof_broadcast_guards_right_size(spark):
+    from hastl_spark.operators.asof import asof_join_broadcast
+
+    left, right = _mk_asof_frames(spark, seed=3, n_left=20, n_right=10)
+    with pytest.raises(ValueError, match="max_right_rows"):
+        asof_join_broadcast(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            by="key", left_on="ts", right_on="rt", max_right_rows=5)

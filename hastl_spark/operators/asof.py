@@ -2,7 +2,10 @@
 
 Spark has no native ASOF JOIN (DuckDB/Pandas do); the naive formulation —
 an inequality join + per-left-row rank — degenerates to a broadcast
-nested-loop or an exploding theta-join.  Two union-merge implementations:
+nested-loop or an exploding theta-join.  Three plans, one semantics (all
+row-identical by test; scale numbers in BENCH/asof_scale.json) — two
+union-merge window variants plus a zero-shuffle broadcast fast path
+(``asof_join_broadcast``, defined below, for small right sides):
 
 ``asof_join`` (per-key window):
     tag left rows side=1 and right rows side=0, union them on the key,

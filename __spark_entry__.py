@@ -514,6 +514,42 @@ def q_asof_enrich_bucketed(spark, sf_dir):
                       F.col("matched_bucket_end"))
 
 
+def q_range_busy(spark, sf_dir):
+    """Range (interval-containment) join via the bucket-explode plan:
+    events counted against each event_type's 3 busiest hours widened to
+    [-30min, +90min) windows. The interval side is tiny, so the exploded
+    bucket table broadcasts and events never shuffle for the join."""
+    from hastl_spark.operators.rangejoin import range_join
+
+    h1 = _rollup_events_1h_raw(spark, sf_dir)
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("bucket")))
+    top = (
+        h1.withColumn("rk", rk).filter(F.col("rk") <= 3)
+        .select("event_type",
+                (F.col("bucket") - F.expr("INTERVAL 30 MINUTES")).alias("iv_start"),
+                (F.col("bucket") + F.expr("INTERVAL 90 MINUTES")).alias("iv_end"))
+    )
+    ev = _events(spark, sf_dir).select("event_type", "ts", "value")
+    joined = range_join(ev, top, on="ts", start_col="iv_start",
+                        end_col="iv_end", by="event_type",
+                        bucket_seconds=3600, broadcast=True)
+    return joined.groupBy("event_type", "iv_start").agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+def q_kmv_users(spark, sf_dir):
+    """KMV bottom-k distinct-user sketch per event_type — unlike HLL, the
+    fixed portable hash makes the sketch itself value-checkable (the
+    DuckDB oracle reproduces n_seen/h_k/est bit-for-bit)."""
+    from hastl_spark.operators.sketch import kmv_distinct
+
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    return kmv_distinct(ev, group_col="event_type", value_col="user_id",
+                        k=256)
+
+
 def _dense_1h_rounded(spark, sf_dir):
     h1 = _rollup_events_1h_raw(spark, sf_dir)
     dense = densify_grid(h1, bucket_seconds=3600, key_col="event_type")
@@ -616,6 +652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "asof_enrich": q_asof_enrich,
         "asof_enrich_bucketed": q_asof_enrich_bucketed,
+        "range_busy": q_range_busy,
+        "kmv_users": q_kmv_users,
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "anomalies_1h": q_anomalies_1h,
@@ -1189,4 +1227,41 @@ def oracle_sql() -> dict[str, str]:
     }
     # same oracle: the bucketed plan must be row-identical to the plain one
     d["asof_enrich_bucketed"] = d["asof_enrich"]
+
+    d["range_busy"] = """
+        WITH r AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS cnt
+          FROM events GROUP BY 1, 2
+        ), t AS (
+          SELECT event_type,
+                 bucket - INTERVAL 30 MINUTE AS iv_start,
+                 bucket + INTERVAL 90 MINUTE AS iv_end
+          FROM (SELECT event_type, bucket, cnt,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cnt DESC, bucket) AS rk
+                FROM r) WHERE rk <= 3
+        )
+        SELECT e.event_type, t.iv_start, count(*) AS n_in,
+               round(sum(e.value), 4) AS sum_value
+        FROM events e JOIN t
+          ON e.event_type = t.event_type
+         AND e.ts >= t.iv_start AND e.ts < t.iv_end
+        GROUP BY 1, 2
+    """
+
+    from hastl_spark.operators.sketch import KMV_P, kmv_hash_sql
+    d["kmv_users"] = f"""
+        WITH h AS (
+          SELECT DISTINCT event_type, {kmv_hash_sql('user_id')} AS h
+          FROM events
+        ), b AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+          FROM h
+        )
+        SELECT event_type, count(*) AS n_seen, max(h) AS h_k,
+               round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                          ELSE 255.0 * {KMV_P} / max(h) END, 4) AS est
+        FROM b WHERE rk <= 256 GROUP BY 1
+    """
     return d

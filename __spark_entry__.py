@@ -550,6 +550,30 @@ def q_kmv_users(spark, sf_dir):
                         k=256)
 
 
+def q_time_weighted(spark, sf_dir):
+    """TimescaleDB time_weight('LOCF'): per (event_type, day) time-weighted
+    mean of the raw event values over irregular timestamps. event_id
+    tiebreaks equal timestamps so the value is deterministic and the
+    oracle reproduces it bit-for-bit."""
+    from hastl_spark.operators.timeweight import time_weighted_avg
+
+    ev = _events(spark, sf_dir).withColumn("day", F.date_trunc("day", "ts"))
+    return time_weighted_avg(ev, key_cols=["event_type", "day"],
+                             ts_col="ts", value_col="value",
+                             tiebreak_col="event_id")
+
+
+def q_value_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per event_type (Spark `percentile` and
+    DuckDB `quantile_cont` share the (n-1)*p linear-interpolation rule)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
 def _dense_1h_rounded(spark, sf_dir):
     h1 = _rollup_events_1h_raw(spark, sf_dir)
     dense = densify_grid(h1, bucket_seconds=3600, key_col="event_type")
@@ -654,6 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich_bucketed": q_asof_enrich_bucketed,
         "range_busy": q_range_busy,
         "kmv_users": q_kmv_users,
+        "time_weighted": q_time_weighted,
+        "value_quantiles": q_value_quantiles,
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "anomalies_1h": q_anomalies_1h,
@@ -1247,6 +1273,28 @@ def oracle_sql() -> dict[str, str]:
           ON e.event_type = t.event_type
          AND e.ts >= t.iv_start AND e.ts < t.iv_end
         GROUP BY 1, 2
+    """
+
+    d["time_weighted"] = """
+        WITH s AS (
+          SELECT event_type, date_trunc('day', ts) AS day, value,
+                 CAST(epoch(ts) AS DOUBLE) AS t,
+                 lead(CAST(epoch(ts) AS DOUBLE)) OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts, event_id) AS nt
+          FROM events
+        )
+        SELECT event_type, day, max(t) - min(t) AS span_s,
+               round(sum(value * coalesce(nt - t, 0)) / (max(t) - min(t)), 4) AS twa
+        FROM s GROUP BY 1, 2 HAVING max(t) - min(t) > 0
+    """
+
+    d["value_quantiles"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY 1
     """
 
     from hastl_spark.operators.sketch import KMV_P, kmv_hash_sql

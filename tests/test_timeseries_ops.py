@@ -324,3 +324,25 @@ def test_asof_broadcast_guards_right_size(spark):
         asof_join_broadcast(
             spark.createDataFrame(left), spark.createDataFrame(right),
             by="key", left_on="ts", right_on="rt", max_right_rows=5)
+
+
+def test_time_weighted_avg_matches_manual(spark):
+    """LOCF time-weight vs a hand-computed pandas oracle, incl. an
+    equal-timestamp tie (pinned by the tiebreak column) and a dropped
+    single-sample group."""
+    from hastl_spark.operators.timeweight import time_weighted_avg
+
+    rows = [
+        ("a", _ts(0), 10.0, 1), ("a", _ts(100), 20.0, 2),
+        ("a", _ts(100), 99.0, 3),  # tie: row 2 holds for 0s, row 3 for 200s
+        ("a", _ts(300), 0.0, 4),
+        ("b", _ts(50), 7.0, 5),  # single sample: dropped
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double, i long")
+    out = time_weighted_avg(df, key_cols=["key"], ts_col="ts",
+                            value_col="v", tiebreak_col="i").toPandas()
+    assert len(out) == 1
+    # manual: 10*100 + 20*0 + 99*200 + 0*0 over span 300
+    exp = round((10.0 * 100 + 99.0 * 200) / 300, 4)
+    assert out.iloc[0]["key"] == "a" and out.iloc[0]["twa"] == exp
+    assert out.iloc[0]["span_s"] == 300.0

@@ -574,6 +574,25 @@ def q_value_quantiles(spark, sf_dir):
     )
 
 
+def q_ohlc_1h(spark, sf_dir):
+    """Classic OHLC (candlestick) bucket rollup: per (event_type, hour),
+    first/max/min/last value. Open/close ride Spark's orderable-struct
+    min/max (single aggregation pass, no window); event_id tiebreaks so
+    the oracle's row_number formulation reproduces them exactly."""
+    ev = _events(spark, sf_dir)
+    key = F.struct("ts", "event_id", "value")
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.round(F.min(key).getField("value"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max(key).getField("value"), 4).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def _dense_1h_rounded(spark, sf_dir):
     h1 = _rollup_events_1h_raw(spark, sf_dir)
     dense = densify_grid(h1, bucket_seconds=3600, key_col="event_type")
@@ -680,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_users": q_kmv_users,
         "time_weighted": q_time_weighted,
         "value_quantiles": q_value_quantiles,
+        "ohlc_1h": q_ohlc_1h,
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "anomalies_1h": q_anomalies_1h,
@@ -1295,6 +1315,25 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(value, 0.9), 4) AS p90,
                round(quantile_cont(value, 0.99), 4) AS p99
         FROM events GROUP BY 1
+    """
+
+    d["ohlc_1h"] = """
+        WITH s AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+                 row_number() OVER wa AS rn_a, row_number() OVER wd AS rn_d
+          FROM events WINDOW
+            wa AS (PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id),
+            wd AS (PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC)
+        )
+        SELECT event_type, bucket,
+               round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+               round(max(value), 4) AS high,
+               round(min(value), 4) AS low,
+               round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+               count(*) AS n
+        FROM s GROUP BY 1, 2
     """
 
     from hastl_spark.operators.sketch import KMV_P, kmv_hash_sql

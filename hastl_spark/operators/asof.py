@@ -111,8 +111,12 @@ def _window_pick(u, part_cols, direction, payload, l_cols, by, left_side):
 def _finish(out, by, l_cols, payload, right_on, tolerance_seconds):
     """Apply the tolerance gate and project the public schema."""
     if tolerance_seconds is not None:
-        dist = F.abs(F.unix_timestamp(_T) - F.unix_timestamp(_RT))
-        keep = F.col(_RT).isNotNull() & (dist <= F.lit(int(tolerance_seconds)))
+        # exact MICROSECOND distance: unix_timestamp() truncates sub-second
+        # parts, which would make the window plans disagree with the
+        # ns-exact broadcast plan (and pandas) near the tolerance boundary
+        dist = F.abs(F.unix_micros(_T) - F.unix_micros(_RT))
+        keep = (F.col(_RT).isNotNull()
+                & (dist <= F.lit(int(tolerance_seconds) * 1_000_000)))
         out = out.select(
             by, _T, _SIDE,
             *l_cols,
@@ -189,9 +193,12 @@ def asof_join_bucketed(
         carry = F.first("_pk", ignorenulls=True).over(carry_w)
         carry_side, boundary = 2, (F.col(_B) + 1) * bucket_seconds
 
+    # one distinct over the union — map-side partial aggregation already
+    # collapses duplicates before the exchange, so per-side distincts
+    # would just add two more shuffling aggregations
     buckets = (
-        l2b.select(by, _B).distinct()
-        .unionByName(r2b.select(by, _B).distinct()).distinct()
+        l2b.select(by, _B)
+        .unionByName(r2b.select(by, _B)).distinct()
         .join(per_bucket, [by, _B], "left")
         .select(by, _B, carry.alias("_carry"))
         .filter(F.col("_carry").isNotNull())
@@ -249,12 +256,14 @@ def asof_join_broadcast(
     if collide:
         raise ValueError(f"right payload columns collide with left: {sorted(collide)}")
 
-    n_right = right.count()
-    if n_right > max_right_rows:
+    # Single execution of the (typically aggregated) right-side plan: the
+    # limit+1 collect IS the size probe — a separate count() would run the
+    # whole build-side job twice.
+    rpdf = right.select(by, right_on, *payload).limit(max_right_rows + 1).toPandas()
+    if len(rpdf) > max_right_rows:
         raise ValueError(
-            f"right side has {n_right} rows > max_right_rows={max_right_rows}; "
+            f"right side exceeds max_right_rows={max_right_rows}; "
             "use asof_join_bucketed for large-large as-of")
-    rpdf = right.select(by, right_on, *payload).toPandas()
     rpdf = rpdf.sort_values([by, right_on], kind="mergesort")
     # Build side: per key, typed numpy arrays only — the hot loop on the
     # workers must be pure fancy-indexing, no pandas conversions.

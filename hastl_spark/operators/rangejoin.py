@@ -52,18 +52,27 @@ def range_join(
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be positive")
 
-    bucket = lambda c: F.floor(F.unix_timestamp(c) / bucket_seconds)  # noqa: E731
+    # Bucket on exact MICROSECONDS: unix_timestamp() truncates sub-second
+    # parts, so an interval ending fractionally after a bucket boundary
+    # would never explode into its final bucket and would silently drop
+    # matches (events timestamps are microsecond-grained).
+    us = bucket_seconds * 1_000_000
+    # cast("timestamp") first: unix_micros rejects TIMESTAMP_NTZ columns
+    # (parquet default here); session TZ is pinned UTC so the cast is
+    # value-preserving
+    micros = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    bucket = lambda c: F.floor(micros(c) / us)  # noqa: E731
     # Empty/inverted intervals must be dropped BEFORE the explode:
     # sequence(a, b) with b < a generates a DESCENDING range in Spark.
     intervals = intervals.filter(F.col(end_col) > F.col(start_col))
-    # End is exclusive: an interval ending exactly on a bucket boundary
-    # does not cover that bucket.
+    # End is exclusive: the last covered bucket is the one holding end-1µs,
+    # so an interval ending exactly on a boundary does not cover that
+    # bucket, while one ending 1µs past it does.
     iv = intervals.withColumn(
         _B,
         F.explode(F.sequence(
             bucket(F.col(start_col)),
-            bucket(F.to_timestamp(F.unix_timestamp(F.col(end_col))
-                                  - F.lit(1).cast("long"))),
+            F.floor((micros(F.col(end_col)) - F.lit(1)) / us),
         )),
     )
     if broadcast:

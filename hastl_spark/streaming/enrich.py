@@ -62,7 +62,17 @@ def run_streaming_asof_enrich(
             batch_df, r, by=by, left_on=left_on, right_on=right_on,
             direction=direction, tolerance_seconds=tolerance_seconds,
         )
-        out.write.mode("append").parquet(out_dir)
+        # foreachBatch is at-least-once: a replayed batch must land
+        # idempotently, so each batch dynamically OVERWRITES its own
+        # `_batch` partition instead of blind-appending (a retry after a
+        # partial commit would otherwise duplicate rows). Readers see an
+        # extra `_batch` column, same as any partitioned sink.
+        from pyspark.sql import functions as F
+
+        (out.withColumn("_batch", F.lit(int(batch_id)))
+         .write.partitionBy("_batch")
+         .option("partitionOverwriteMode", "dynamic")
+         .mode("overwrite").parquet(out_dir))
 
     writer = (
         stream.writeStream.foreachBatch(sink)

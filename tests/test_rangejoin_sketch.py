@@ -112,3 +112,20 @@ def test_kmv_hash_matches_duckdb(spark):
     exp = [duckdb.sql(f"select {kmv_hash_sql(str(v))}").fetchone()[0]
            for v in vals]
     assert got == exp
+
+
+def test_range_join_subsecond_end(spark):
+    """An interval ending fractionally past a bucket boundary must still
+    cover that final bucket (unix_timestamp truncation regression)."""
+    pts = spark.createDataFrame(
+        [("a", EPOCH + dt.timedelta(seconds=3600, microseconds=200_000), 0),
+         ("a", EPOCH + dt.timedelta(seconds=3600, microseconds=600_000), 1)],
+        "key string, ts timestamp, pid long")
+    iv = spark.createDataFrame(
+        [("a", _ts(0),
+          EPOCH + dt.timedelta(seconds=3600, microseconds=500_000), 10)],
+        "key string, iv_start timestamp, iv_end timestamp, iv_id long")
+    got = range_join(pts, iv, on="ts", start_col="iv_start",
+                     end_col="iv_end", by="key",
+                     bucket_seconds=3600).select("pid").toPandas()
+    assert sorted(got["pid"]) == [0]  # .2s in, .6s out (end-exclusive)

@@ -86,7 +86,7 @@ def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
         out_dir, str(tmp_path / "ckpt_asof"), **kwargs)
     q2.awaitTermination(300)
 
-    got = spark.read.parquet(out_dir)
+    got = spark.read.parquet(out_dir).drop("_batch")
     exp = asof_join(ldf, rdf, **kwargs)
     assert got.count() == n_left
     assert got.exceptAll(exp).count() + exp.exceptAll(got).count() == 0

@@ -346,3 +346,38 @@ def test_time_weighted_avg_matches_manual(spark):
     exp = round((10.0 * 100 + 99.0 * 200) / 300, 4)
     assert out.iloc[0]["key"] == "a" and out.iloc[0]["twa"] == exp
     assert out.iloc[0]["span_s"] == 300.0
+
+
+def test_asof_tolerance_subsecond_all_plans_agree(spark):
+    """Microsecond timestamps near the tolerance boundary: the window
+    plans, the broadcast plan, and pandas must keep/null the same rows
+    (unix_timestamp truncation regression)."""
+    from hastl_spark.operators.asof import (asof_join_broadcast,
+                                            asof_join_bucketed)
+
+    left = pd.DataFrame({
+        "key": ["a", "a", "a"],
+        # distances to rt=10.0s: exactly 4.0s, 4.9s, 3.999999s
+        "ts": [_ts(14), _ts(14) + dt.timedelta(microseconds=900_000),
+               _ts(14) - dt.timedelta(microseconds=1)],
+        "ev": np.array([0, 1, 2], dtype=np.int64),
+    })
+    right = pd.DataFrame({"key": ["a"], "rt": [_ts(10)],
+                          "payload": np.array([7], dtype=np.int64)})
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    kwargs = dict(by="key", left_on="ts", right_on="rt",
+                  tolerance_seconds=4)
+    outs = {
+        "plain": asof_join(ldf, rdf, **kwargs),
+        "bucketed": asof_join_bucketed(ldf, rdf, bucket_seconds=7, **kwargs),
+        "broadcast": asof_join_broadcast(ldf, rdf, **kwargs),
+    }
+    exp = pd.merge_asof(left.sort_values("ts"), right.sort_values("rt"),
+                        left_on="ts", right_on="rt", by="key",
+                        tolerance=pd.Timedelta(seconds=4))
+    exp = exp.sort_values("ev")["payload"].fillna(-1).tolist()
+    assert exp == [7.0, -1, 7.0]  # 4.0s kept (inclusive), 4.9s nulled
+    for name, df in outs.items():
+        got = (df.toPandas().sort_values("ev")["payload"]
+               .fillna(-1).tolist())
+        assert got == exp, name

@@ -1074,8 +1074,9 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, source,
-                   (cum - n_chars) // {_PACK_BUDGET} AS pack_id,
-                   (cum - n_chars) % {_PACK_BUDGET} AS pack_offset,
+                   CAST((cum - n_chars) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+                   CAST((cum - n_chars) % {_PACK_BUDGET} AS BIGINT)
+                       AS pack_offset,
                    CAST((cum - 1) // {_PACK_BUDGET}
                         - (cum - n_chars) // {_PACK_BUDGET} + 1 AS INT)
                        AS packs_spanned
@@ -1095,7 +1096,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT source, doc_id, s, e, p0 + u.g AS pack_id
               FROM a, unnest(range(0, CAST(p1 - p0 + 1 AS BIGINT))) AS u(g)
             )
-            SELECT source, pack_id,
+            SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(least(e, (pack_id + 1) * {_PACK_BUDGET})
                             - greatest(s, pack_id * {_PACK_BUDGET})) AS BIGINT)
@@ -1131,7 +1132,7 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT)] AS piece
               FROM x
             )
-            SELECT source, pack_id,
+            SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
                    CAST(len(tokens) AS BIGINT) AS n_tokens,
                    CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
                    CAST(list_sum(list_transform(tokens, (x, i) -> x * i))

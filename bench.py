@@ -17,11 +17,14 @@ poison all of a query's samples. The headline per-query number is the MIN
 (least-interference sample); medians ride alongside so variance is visible
 in the artifact.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (last line of stdout — the driver's tail
+capture is small, see BENCH_r04.json's truncation):
   {"metric": "...", "value": <sum of per-query mins>, "unit": "sec",
-   "queries": {name: min_sec, ...}, "queries_median": {...}, "repeat": k,
-   "sf": ..., "pipeline": {...}, "efficiency": <scaling efficiency>,
-   "efficiency_meta": {...provenance...}}
+   "queries": {name: min_sec, ...}, "sf": ...,
+   "pipeline_points_per_sec": ..., "pipeline_tokens_per_sec": ...,
+   "packing_tokens_per_sec": ..., "efficiency": <scaling efficiency>}
+The FULL record (medians, per-repeat walls, pipeline/packing detail,
+efficiency provenance) is written to BENCH/bench_full.json.
 
 The `efficiency` field is the north_rule's N->4N scaling-efficiency
 number. Measuring it takes two spark-submit jobs over the 56M-row scaling
@@ -207,7 +210,30 @@ def main():
     if eff:
         out["efficiency"] = eff.pop("value")
         out["efficiency_meta"] = eff
-    print(json.dumps(out))
+
+    # Full record (medians, per-repeat walls, efficiency provenance) goes
+    # to a file; the PRINTED line must stay compact — the round-4 driver
+    # artifact recorded "parsed": null because the 49-query double dict
+    # overflowed the driver's stdout tail capture and the line arrived
+    # truncated mid-JSON. Print one short final line with the contract
+    # fields only.
+    os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    with open(os.path.join(ROOT, "BENCH", "bench_full.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {n: round(v, 2) for n, v in timings.items()},
+        "sf": sf,
+        "pipeline_points_per_sec": out["pipeline"]["points_per_sec"],
+        "pipeline_tokens_per_sec": out["pipeline"]["tokens_per_sec"],
+        "packing_tokens_per_sec": out["packing"]["tokens_per_sec"],
+    }
+    if "efficiency" in out:
+        compact["efficiency"] = out["efficiency"]
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -23,7 +23,9 @@ from .text import char_ngrams, poly_hash_sql
 
 def contamination_flags(docs: DataFrame, benchmark: DataFrame, n: int = 16,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        max_benchmark_shingles: int = 10_000_000,
+                        broadcast: bool = True) -> DataFrame:
     """Benchmark decontamination: per document, how many DISTINCT benchmark
     ``n``-gram shingles it contains (``n_hits``) and a ``contaminated``
     flag. The standard pre-training hygiene pass that drops documents
@@ -35,11 +37,30 @@ def contamination_flags(docs: DataFrame, benchmark: DataFrame, n: int = 16,
     only HIT rows (a vanishing fraction) reach the per-doc count. The final
     left join back to ids is corpus-sized but carries only (id) vs
     (id, n_hits).
+
+    ``max_benchmark_shingles`` bounds the broadcast side (fail-fast probe,
+    one extra benchmark pass); ``broadcast=False`` selects a shuffle-join
+    plan for genuinely large benchmarks.
     """
     bench = char_ngrams(benchmark, n=n, text_col=text_col,
                         id_col=id_col).select("ngram").distinct()
+    if broadcast:
+        # Fail-fast size guard (same discipline as asof_join_broadcast):
+        # a "benchmark" that is actually corpus-sized would OOM every
+        # executor when broadcast. The limit+1 count stops the probe job
+        # as soon as the cap is exceeded; one extra benchmark-side pass is
+        # the price of never shipping an unbounded broadcast.
+        probe = bench.limit(max_benchmark_shingles + 1).count()
+        if probe > max_benchmark_shingles:
+            raise ValueError(
+                f"benchmark has >{max_benchmark_shingles} distinct "
+                f"{n}-gram shingles — too large to broadcast; call with "
+                "broadcast=False for a shuffle-join plan (corpus shingles "
+                "will shuffle on ngram), or raise max_benchmark_shingles "
+                "if your executors have the headroom")
+        bench = F.broadcast(bench)
     hits = (char_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
-            .join(F.broadcast(bench), "ngram")
+            .join(bench, "ngram")
             .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits")))
     return (docs.select(id_col).join(hits, id_col, "left")
             .select(F.col(id_col),

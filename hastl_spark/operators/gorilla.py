@@ -58,6 +58,12 @@ import zlib
 import numpy as np
 
 _MAGIC = b"GOR2"
+# Persisted-table codec stamp: chunk tables record this as a table prop
+# (rollup_job writes props={"codec": CODEC_VERSION}) so a table encoded by
+# an older layout (GOR1 interleaved stream, round<=3) is detected at merge
+# time and fully re-encoded instead of mixing formats — decode() asserts
+# one magic and must never see a mixed table.
+CODEC_VERSION = _MAGIC.decode()
 _U64 = np.uint64
 # read-path guard: our writers cap chunks at <=65536 points (<=0.6 MB value
 # stream); anything vastly larger is corrupt or foreign, and the decode

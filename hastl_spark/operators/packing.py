@@ -222,9 +222,17 @@ def mixture_sample(df: DataFrame, rates: dict[str, float],
     preserved), re-runnable with identical output on any cluster size.
     ``rates`` is a plain dict because mixture weights are a small config,
     exactly like a broadcast dim table. ``id_col`` must be integral (the
-    LCG is exact int64 arithmetic)."""
+    LCG is exact int64 arithmetic).
+
+    The id is reduced mod M BEFORE the multiply (same discipline as
+    ``sketch.kmv_hash``): (id mod M)*A + C <= (M-1)*A + C fits int64,
+    whereas raw id*A overflows for ids >= ~8.36e9 — an ANSI-mode runtime
+    error (or silent wrap + oracle divergence) under the repo's own
+    10-digit doc_id suffix convention. (x*A) mod M == ((x mod M)*A) mod M,
+    so values are unchanged where the old form didn't overflow."""
     _require_integral_id(df, id_col)
-    u = F.pmod(F.pmod(F.col(id_col).cast("long") * F.lit(_MIX_A) + F.lit(_MIX_C),
+    u = F.pmod(F.pmod(F.pmod(F.col(id_col).cast("long"), F.lit(_MIX_M))
+                      * F.lit(_MIX_A) + F.lit(_MIX_C),
                       F.lit(_MIX_M)), F.lit(_MIX_DENOM))
     thr = F.lit(int(round(default_rate * _MIX_DENOM)))
     for src, rate in sorted(rates.items()):
@@ -243,5 +251,6 @@ def mixture_sample_where_sql(rates: dict[str, float],
         f"WHEN {source_col} = '{src}' THEN {int(round(rate * _MIX_DENOM))}"
         for src, rate in sorted(rates.items()))
     thr = f"(CASE {cases} ELSE {int(round(default_rate * _MIX_DENOM))} END)"
-    return (f"((({id_col} * {_MIX_A} + {_MIX_C}) % {_MIX_M}) % {_MIX_DENOM})"
-            f" < {thr}")
+    # mirrors mixture_sample's pre-mod reduction (int64-safe for any id)
+    return (f"((((({id_col} % {_MIX_M}) + {_MIX_M}) % {_MIX_M}"
+            f" * {_MIX_A} + {_MIX_C}) % {_MIX_M}) % {_MIX_DENOM}) < {thr}")

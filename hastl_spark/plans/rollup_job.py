@@ -128,11 +128,15 @@ def run_pipeline(
     metrics["tier_1m"] = rec
     t0 = _mark("merge_1m", t0)
     days = sorted({p.split(PART_SEP)[1] for p in metrics["tier_1m"]["partitions"]})
-    # source cardinality from the merge's own partition lineage: sizes the
-    # grouped-map partition floors (4x keys) in gap-fill and chunk encode
-    # instead of the blind 256-per-stage worst case
+    # source cardinality sizes the grouped-map partition floors (4x keys)
+    # in gap-fill and chunk encode instead of the blind 256-per-stage worst
+    # case. It must come from the table MANIFEST's full partition set, not
+    # this merge's lineage: the frames those floors size are FULL-TABLE
+    # reads, and an incremental run touching a subset of sources would
+    # otherwise shrink the floor to min(256, 4*touched) and reintroduce the
+    # hash-collision straggler the floor exists to prevent (round-4 ADVICE).
     n_sources = len({p.split(PART_SEP)[0]
-                     for p in metrics["tier_1m"]["partitions"]}) or None
+                     for p in t_1m.partition_values()}) or None
     t_gap = KeyedTable(os.path.join(out_dir, "gapfill_1m"), ["source", "bucket"],
                        part_spec=DAY_SPEC)
     gap_for_chunks: dict = {}
@@ -268,8 +272,20 @@ def run_pipeline(
         # re-encode published as an overwrite snapshot (stale partitions
         # dropped), never an incremental keyed merge.
         discipline = "anchored" if anchored else "rowcount"
+        from hastl_spark.operators.gorilla import CODEC_VERSION
+
         prev_disc = t_ch.prop("chunking") if t_ch.exists() else None
-        migrate_chunks = prev_disc is not None and prev_disc != discipline
+        prev_codec = t_ch.prop("codec") if t_ch.exists() else None
+        # A PRE-EXISTING table with NO recorded discipline (written before
+        # the prop existed) must be treated as a potential mismatch too:
+        # assuming it matches would let an anchored+incremental run keyed-
+        # merge over legacy row-count chunks — exactly the stale-overlap
+        # corruption this guard prevents. Unknown discipline => full
+        # re-encode overwrite, which also stamps the prop going forward.
+        # Same rule for the Gorilla codec version: decode() asserts one
+        # magic, so a merge must never mix GOR1-era rows with GOR2 rows.
+        migrate_chunks = t_ch.exists() and (prev_disc != discipline
+                                            or prev_codec != CODEC_VERSION)
         inc_chunks = (anchored and incremental_gapfill and t_ch.exists()
                       and not migrate_chunks)
         gap_src = gap_for_chunks.get("df")
@@ -348,15 +364,18 @@ def run_pipeline(
             metrics["chunk_windows_recomputed"] = n_windows
         if migrate_chunks:
             metrics["chunks_discipline_migration"] = {
-                "from": prev_disc, "to": discipline}
+                "from": prev_disc, "to": discipline,
+                "from_codec": prev_codec, "to_codec": CODEC_VERSION}
             metrics["chunks"] = t_ch.overwrite(
                 spark, chunks, watermark_col="chunk_end",
-                props={"chunking": discipline})
+                props={"chunking": discipline,
+                       "codec": CODEC_VERSION})
         else:
             metrics["chunks"] = t_ch.merge_upsert(
                 spark, chunks, watermark_col="chunk_end",
                 replace_partitions=not anchored,
-                props={"chunking": discipline})
+                props={"chunking": discipline,
+                       "codec": CODEC_VERSION})
         if profile_stages:
             chunks.unpersist()
             t0 = _mark("chunks_merge", t0)

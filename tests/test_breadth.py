@@ -397,6 +397,30 @@ def test_contamination_flags_planted_overlap(spark):
     assert got[3] == (0, False)
 
 
+def test_contamination_broadcast_guard_and_shuffle_fallback(spark):
+    """A benchmark whose distinct shingle count exceeds the cap fails fast
+    instead of broadcasting; the broadcast=False shuffle plan returns
+    identical values to the broadcast plan."""
+    from hastl_spark.operators.dedup import contamination_flags
+
+    bench_txt = "the secret benchmark answer is forty-two exactly"
+    docs = spark.createDataFrame(
+        [(0, bench_txt),
+         (1, "prefix " + bench_txt[5:29] + " suffix"),
+         (2, "completely unrelated content with no overlap at all xyz")],
+        "doc_id long, text string")
+    bench = docs.filter("doc_id = 0")  # 34 distinct 16-grams
+
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        contamination_flags(docs, bench, n=16,
+                            max_benchmark_shingles=10).collect()
+
+    want = sorted(contamination_flags(docs, bench, n=16).collect())
+    got = sorted(contamination_flags(docs, bench, n=16,
+                                     broadcast=False).collect())
+    assert got == want
+
+
 def test_dup_group_labels_connected_components(spark):
     from hastl_spark.operators.dedup import dup_group_labels
 

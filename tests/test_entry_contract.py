@@ -37,11 +37,24 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+_RAW_CACHE: dict = {}
+
+
+def _raw_frames(spark, ducked, name):
+    """Full (unnormalized) Spark and DuckDB frames for one oracle query,
+    computed once per session and shared between the value test and the
+    dtype-parity gate."""
+    if name not in _RAW_CACHE:
+        got = entrymod.queries()[name](spark, SF).toPandas()
+        exp = ducked.sql(entrymod.oracle_sql()[name]).df()
+        _RAW_CACHE[name] = (got, exp)
+    return _RAW_CACHE[name]
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
 def test_query_matches_oracle(spark, ducked, name):
-    q = entrymod.queries()[name]
-    got = normalize(q(spark, SF).toPandas())
-    exp = normalize(ducked.sql(entrymod.oracle_sql()[name]).df())
+    got, exp = _raw_frames(spark, ducked, name)
+    got, exp = normalize(got), normalize(exp)
     assert list(got.columns) == list(exp.columns), f"{name}: column mismatch"
     assert len(got) == len(exp), f"{name}: row count {len(got)} vs {len(exp)}"
     for c in got.columns:
@@ -53,6 +66,52 @@ def test_query_matches_oracle(spark, ducked, name):
         else:
             assert (got[c].values == exp[c].values).all() or got[c].equals(exp[c]), \
                 f"{name}.{c}: value mismatch"
+
+
+def _dtype_key(s: pd.Series) -> str:
+    """Canonical dtype label for driver-comparator parity.
+
+    The driver hashes raw values column-by-column, so a Spark int64 vs a
+    DuckDB HUGEINT-degraded float64 hash-mismatches even when every value
+    is numerically identical (the round-4 packing failure).  Integer
+    widths are folded together (int32 vs int64 print identically) and
+    datetimes fold across unit, but kind mismatches (int vs float,
+    numeric vs object) are exactly the class of bug this gate exists to
+    catch — keep them strict."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
+def test_oracle_dtype_parity(spark, ducked, name):
+    """Raw (pre-normalization) dtype kinds must agree between the Spark
+    result and the DuckDB oracle over the FULL frames — the driver compares
+    raw value hashes, so any kind drift (HUGEINT->float64,
+    DECIMAL-vs-DOUBLE) is a driver hash failure even with identical values.
+    One legitimate asymmetry: a nullable integer column arrives in pandas
+    as float64 exactly when the frame contains a null, on BOTH sides — so
+    int-vs-float passes only if the float side actually holds a NaN (the
+    driver sees the same full frames and hashes them identically then)."""
+    got, exp = _raw_frames(spark, ducked, name)
+    assert sorted(got.columns) == sorted(exp.columns), f"{name}: columns"
+    for c in sorted(got.columns):
+        gk, ek = _dtype_key(got[c]), _dtype_key(exp[c])
+        if {gk, ek} == {"int", "float"}:
+            fs = got[c] if gk == "float" else exp[c]
+            assert fs.isna().any(), (
+                f"{name}.{c}: {got[c].dtype} vs {exp[c].dtype} with no "
+                "nulls to explain the upcast — driver hash would differ")
+            continue
+        assert gk == ek, (
+            f"{name}.{c}: spark dtype {got[c].dtype} ({gk}) vs "
+            f"oracle dtype {exp[c].dtype} ({ek})")
 
 
 def test_rows_only_queries_run(spark):

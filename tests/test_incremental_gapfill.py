@@ -129,8 +129,9 @@ def test_chunking_discipline_switch_drops_stale_chunks(spark, tmp_path):
     m2 = run_pipeline(spark, seqs, out, check_invariant=False,
                       stl_kwargs=dict(STL_KW), incremental_gapfill=True,
                       chunk_seconds=CS)
-    assert m2["chunks_discipline_migration"] == {"from": "rowcount",
-                                                "to": "anchored"}
+    assert m2["chunks_discipline_migration"] == {
+        "from": "rowcount", "to": "anchored",
+        "from_codec": "GOR2", "to_codec": "GOR2"}
     assert ch_t.prop("chunking") == "anchored"
     after = ch_t.read(spark).toPandas()
     # the anchored 1m tier has one chunk per (source, day-window): any
@@ -187,3 +188,47 @@ def test_incremental_anchored_chunks_rewrite_only_touched_windows(spark, tmp_pat
     assert len(inc) == len(full)
     for c in cols:
         assert (inc[c].values == full[c].values).all(), c
+
+
+@pytest.mark.slow
+def test_legacy_chunks_table_missing_props_forces_overwrite(spark, tmp_path):
+    """A chunks table written before the 'chunking'/'codec' props existed
+    (prop() returns None) must be treated as a potential mismatch: the
+    anchored+incremental run takes the full re-encode OVERWRITE path, never
+    the keyed merge that could leave stale overlapping legacy chunks
+    (round-4 ADVICE)."""
+    import json
+
+    CS = {"1m": 86400, "1h": 365 * 86400, "1d": 3650 * 86400,
+          "gapfill_1m": 86400}
+    seqs = _seqs(spark)
+    out = str(tmp_path / "legacy")
+    run_pipeline(spark, seqs, out, check_invariant=False,
+                 stl_kwargs=dict(STL_KW), chunk_seconds=CS)
+    ch_t = KeyedTable(f"{out}/chunks", ["source", "tier", "chunk_start"])
+    assert ch_t.prop("chunking") == "anchored"
+    # simulate a legacy manifest: strip the props block entirely
+    man = ch_t._load()
+    man.pop("props", None)
+    ch_t._publish(man)
+    assert ch_t.prop("chunking") is None and ch_t.prop("codec") is None
+
+    m2 = run_pipeline(spark, seqs, out, check_invariant=False,
+                      stl_kwargs=dict(STL_KW), incremental_gapfill=True,
+                      chunk_seconds=CS)
+    mig = m2["chunks_discipline_migration"]
+    assert mig["from"] is None and mig["to"] == "anchored"
+    assert mig["from_codec"] is None and mig["to_codec"] == "GOR2"
+    # the overwrite re-stamped both props
+    assert ch_t.prop("chunking") == "anchored"
+    assert ch_t.prop("codec") == "GOR2"
+    # table content identical to a fresh anchored run (no dupes/stale rows)
+    fresh = str(tmp_path / "fresh2")
+    run_pipeline(spark, seqs, fresh, check_invariant=False,
+                 stl_kwargs=dict(STL_KW), chunk_seconds=CS)
+    f_t = KeyedTable(f"{fresh}/chunks", ["source", "tier", "chunk_start"])
+    a = (ch_t.read(spark).toPandas().groupby("tier").n_points.sum()
+         .sort_index())
+    b = (f_t.read(spark).toPandas().groupby("tier").n_points.sum()
+         .sort_index())
+    assert (a == b).all()

@@ -129,3 +129,30 @@ def test_mixture_sample_exact_and_deterministic(spark, docs):
     assert surv.columns == docs.columns
     orig = {r["doc_id"]: tuple(r) for r in docs.collect()}
     assert all(tuple(r) == orig[r["doc_id"]] for r in surv.collect())
+
+
+def test_mixture_sample_large_ids_no_overflow(spark):
+    """ids >= ~8.36e9 used to overflow int64 in id*A (ANSI runtime error /
+    silent wrap): the pre-mod reduction must keep the arithmetic exact up
+    to the repo's 10-digit doc_id convention, with the SQL twin agreeing."""
+    import duckdb
+
+    from hastl_spark.operators.packing import mixture_sample_where_sql
+
+    ids = [0, 1, 8_400_000_000, 9_999_999_999, 2**62]
+    docs = spark.createDataFrame([(i, "s0") for i in ids],
+                                 "doc_id long, source string")
+    rates = {"s0": 0.5}
+    got = sorted(r["doc_id"] for r in mixture_sample(docs, rates).collect())
+    # exact python reimplementation (arbitrary precision = ground truth)
+    expect = [i for i in ids
+              if ((i % _MIX_M) * _MIX_A + _MIX_C) % _MIX_M % _MIX_DENOM
+              < int(round(0.5 * _MIX_DENOM))]
+    assert got == expect
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, source VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, "s0") for i in ids])
+    sql_got = sorted(r[0] for r in con.execute(
+        "SELECT doc_id FROM t WHERE "
+        + mixture_sample_where_sql(rates)).fetchall())
+    assert sql_got == expect

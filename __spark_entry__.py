@@ -648,6 +648,83 @@ def q_downsample_ltob(spark, sf_dir):
                 value_col="cnt")
 
 
+def q_counter_rate_1h(spark, sf_dir):
+    """TimescaleDB counter_agg twin: reset-aware counter delta + per-second
+    rate per (event_type, hour); event_id tiebreaks equal timestamps so the
+    pairwise lag steps are deterministic."""
+    from hastl_spark.operators.counter import counter_agg
+
+    ev = _events(spark, sf_dir).withColumn(
+        "bucket", F.date_trunc("hour", "ts"))
+    return counter_agg(ev, ["event_type", "bucket"], ts_col="ts",
+                       value_col="value", tiebreak_col="event_id")
+
+
+def q_histogram_day(spark, sf_dir):
+    """Fixed-bin value histogram per (event_type, day): 10 bins over
+    [0, 500) with edge clamping — pure two-phase codegen agg."""
+    from hastl_spark.operators.histogram import value_histogram
+
+    ev = _events(spark, sf_dir).withColumn("day", F.date_trunc("day", "ts"))
+    return value_histogram(ev, ["event_type", "day"], "value",
+                           lo=0.0, hi=500.0, n_bins=10)
+
+
+def q_funnel(spark, sf_dir):
+    """view -> click -> purchase funnel per user: earliest strictly-
+    increasing timestamp chain; all three stages resolve in ONE exchange
+    (stacked Window aggregates over the same user partitioning)."""
+    from hastl_spark.operators.funnel import funnel_stages
+
+    return funnel_stages(_events(spark, sf_dir),
+                         ["view", "click", "purchase"])
+
+
+def q_ewma_1h(spark, sf_dir):
+    """Windowed EWMA (alpha=0.2, trailing 12h) of the hourly count series —
+    the sequential fold runs INSIDE Catalyst (array collect + aggregate
+    lambda), so it is bit-identical at any parallelism and to DuckDB's
+    list_reduce."""
+    from hastl_spark.operators.smooth import ewma
+
+    h1 = _rollup_events_1h_raw(spark, sf_dir).select(
+        "event_type", "bucket", "cnt")
+    return ewma(h1, alpha=0.2, window=12, key_col="event_type",
+                order_col="bucket", value_col="cnt")
+
+
+def q_docs_repetition(spark, sf_dir):
+    """Gopher-style intra-doc repetition: fraction of word 3-grams that
+    repeat an earlier 3-gram. Zero-shuffle per-row array expressions."""
+    from hastl_spark.operators.text import repetition_ratio
+
+    return repetition_ratio(_docs(spark, sf_dir), n=3)
+
+
+def q_tfidf_top3(spark, sf_dir):
+    """Top-3 characteristic terms per doc by tf x linear idf
+    (score = tf*N/df — exact integer ratio, cross-engine bit-identical)."""
+    from hastl_spark.operators.text import tf_top_terms
+
+    return tf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+def q_vocab_top50(spark, sf_dir):
+    """Corpus-wide top-50 word bigrams (vocabulary census); orderBy+limit
+    compiles to per-partition top-k, never a full sort."""
+    from hastl_spark.operators.text import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=50, n=2)
+
+
+def q_docs_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/valid/test split by the portable KMV
+    hash of doc_id — stable across runs, engines, cluster sizes."""
+    from hastl_spark.operators.text import deterministic_split
+
+    return deterministic_split(_docs(spark, sf_dir), train=0.9, valid=0.05)
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -704,6 +781,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "anomalies_1h": q_anomalies_1h,
         "downsample_ltob": q_downsample_ltob,
+        "counter_rate_1h": q_counter_rate_1h,
+        "histogram_day": q_histogram_day,
+        "funnel": q_funnel,
+        "ewma_1h": q_ewma_1h,
+        "docs_repetition": q_docs_repetition,
+        "tfidf_top3": q_tfidf_top3,
+        "vocab_top50": q_vocab_top50,
+        "docs_split": q_docs_split,
         # rows-only (no SQL equivalent: the STL/LOESS numeric kernels)
         "stl_gapfill_1h": q_stl_gapfill_1h,
         "loess_smooth_1h": q_loess_smooth_1h,
@@ -1351,5 +1436,136 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
                           ELSE 255.0 * {KMV_P} / max(h) END, 4) AS est
         FROM b WHERE rk <= 256 GROUP BY 1
+    """
+    d["counter_rate_1h"] = """
+        WITH s AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket, ts, value,
+                 lag(value) OVER (
+                   PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id) AS prev
+          FROM events
+        ), st AS (
+          SELECT event_type, bucket, ts, value,
+                 CASE WHEN prev IS NULL THEN 0.0
+                      WHEN value >= prev THEN value - prev
+                      ELSE value END AS step,
+                 CASE WHEN prev IS NOT NULL AND value < prev
+                      THEN 1 ELSE 0 END AS reset
+          FROM s
+        ), a AS (
+          SELECT event_type, bucket, count(*) AS n,
+                 CAST(sum(reset) AS BIGINT) AS num_resets,
+                 round(sum(step), 4) AS delta,
+                 (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS span
+          FROM st GROUP BY 1, 2
+        )
+        SELECT event_type, bucket, n, num_resets, delta,
+               CASE WHEN span > 0 THEN round(delta / span, 6) END AS rate
+        FROM a
+    """
+    d["histogram_day"] = """
+        WITH b AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 CAST(greatest(least(floor(value / 50.0), 9), 0) AS INT)
+                     AS bin
+          FROM events
+        )
+        SELECT event_type, day, bin,
+               round(bin * CAST(50.0 AS DOUBLE), 6) AS bin_lo,
+               count(*) AS cnt
+        FROM b GROUP BY 1, 2, 3
+    """
+    d["funnel"] = """
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        t1 AS (SELECT user_id, min(ts) AS s1_ts FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+        t2 AS (SELECT e.user_id, min(e.ts) AS s2_ts
+               FROM events e JOIN t1 ON e.user_id = t1.user_id
+               WHERE e.event_type = 'click' AND e.ts > t1.s1_ts GROUP BY 1),
+        t3 AS (SELECT e.user_id, min(e.ts) AS s3_ts
+               FROM events e JOIN t2 ON e.user_id = t2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > t2.s2_ts GROUP BY 1)
+        SELECT u.user_id, t1.s1_ts, t2.s2_ts, t3.s3_ts,
+               (CASE WHEN t1.s1_ts IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN t2.s2_ts IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN t3.s3_ts IS NOT NULL THEN 1 ELSE 0 END)
+                   AS reached
+        FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+               LEFT JOIN t3 USING (user_id)
+    """
+    from hastl_spark.operators.smooth import ewma_oracle_sql
+
+    d["ewma_1h"] = f"""
+        WITH h AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, bucket, cnt,
+               {ewma_oracle_sql(0.2, 12, 'event_type', 'bucket', 'cnt')}
+        FROM h
+    """
+    d["docs_repetition"] = """
+        WITH g AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), r AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) >= 3
+                      THEN list_transform(range(1, len(ws) - 1),
+                                          i -> array_to_string(ws[i:i+2], ' '))
+                      ELSE [] END AS grams
+          FROM g
+        )
+        SELECT doc_id, CAST(len(grams) AS INT) AS n_grams,
+               CASE WHEN len(grams) > 0
+                    THEN round(CAST(1 AS DOUBLE)
+                               - CAST(len(list_distinct(grams)) AS DOUBLE)
+                                 / len(grams), 6)
+                    ELSE 0.0 END AS rep_ratio
+        FROM r
+    """
+    d["tfidf_top3"] = """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM w
+          WHERE term <> '' GROUP BY 1, 2
+        ), dfx AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY 1
+        ), n AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+        ), sc AS (
+          SELECT tf.doc_id, tf.term, (tf.tf * n.n) / dfx.df AS score
+          FROM tf JOIN dfx USING (term) CROSS JOIN n
+        ), rk AS (
+          SELECT doc_id, term, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term ASC) AS rnk
+          FROM sc
+        )
+        SELECT doc_id, term, round(score, 6) AS score,
+               CAST(rnk AS INT) AS rnk
+        FROM rk WHERE rnk <= 3
+    """
+    d["vocab_top50"] = """
+        WITH g AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), x AS (
+          SELECT unnest(CASE WHEN len(ws) >= 2
+                             THEN list_transform(range(1, len(ws)),
+                                                 i -> array_to_string(
+                                                     ws[i:i+1], ' '))
+                             ELSE [] END) AS gram
+          FROM g
+        )
+        SELECT gram, count(*) AS cnt FROM x GROUP BY 1
+        ORDER BY cnt DESC, gram ASC LIMIT 50
+    """
+    from hastl_spark.operators.text import deterministic_split_case_sql
+
+    d["docs_split"] = f"""
+        SELECT doc_id, {deterministic_split_case_sql(0.9, 0.05)} AS split
+        FROM documents
     """
     return d

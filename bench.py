@@ -60,6 +60,8 @@ HEADLINE = [
     "time_weighted", "value_quantiles", "ohlc_1h",
     "gapfill_locf_1h", "gapfill_linear_1h",
     "anomalies_1h", "downsample_ltob",
+    "counter_rate_1h", "histogram_day", "funnel", "ewma_1h",
+    "docs_repetition", "tfidf_top3", "vocab_top50", "docs_split",
     "stl_gapfill_1h", "loess_smooth_1h", "gorilla_roundtrip_1h",
     "trend_strength",
 ]

@@ -236,3 +236,111 @@ def rolling_fingerprint(docs: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.array_min(grams).alias("fingerprint"),
     )
+
+
+def repetition_ratio(docs: DataFrame, n: int = 3, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Intra-document repetition (Gopher-style quality rule): the fraction
+    of word ``n``-grams that are repeats of an earlier n-gram in the same
+    document — ``1 - distinct/total`` (0 for docs shorter than n words).
+
+    Scale shape: ZERO shuffles — the n-gram list, distinct-count and ratio
+    are all per-row Catalyst array expressions, so the plan is a bare
+    projected scan. The document never explodes into per-gram rows."""
+    words = F.split(F.col(text_col), " ", -1)
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        F.col(id_col),
+        total.alias("n_grams"),
+        F.when(total > 0,
+               F.round(1.0 - distinct / total, 6)).otherwise(0.0)
+        .alias("rep_ratio"))
+
+
+def tf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` most characteristic terms per document by tf x linear idf
+    (score = tf * N / df — the linear-idf variant keeps the score an exact
+    integer ratio, so double division is bit-identical in any engine; a log
+    idf would rank the same only per (tf, df) level set but its ln() is not
+    cross-engine exact). Ties broken by term ascending.
+
+    Scale shape: explode -> (doc, term) hash-agg (map-side combine eats
+    intra-partition repeats) -> term-level df agg -> shuffle join tf x df
+    (both corpus-sized) -> per-doc window top-k. Four exchanges, each on a
+    natural key; no driver state except the corpus row count N (a scalar
+    aggregate, same class as the as-of probe collects)."""
+    from pyspark.sql import Window
+
+    n_docs = docs.count()  # bounded scalar (one count job, reused as a literal)
+    words = (docs.select(id_col,
+                         F.explode(F.split(F.col(text_col), " ", -1))
+                         .alias("term"))
+             .filter(F.col("term") != ""))
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "term").select(
+        id_col, "term",
+        (F.col("tf") * F.lit(float(n_docs)) / F.col("df")).alias("score"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(id_col, "term", F.round("score", 6).alias("score"),
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
+def vocab_topk(docs: DataFrame, k: int = 50, n: int = 2,
+               text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-``k`` word ``n``-grams by frequency (the vocabulary /
+    BPE-merge-candidate census). Deterministic order: count desc, gram asc.
+
+    Scale shape: per-row Catalyst n-gram array -> explode -> two-phase
+    hash-agg on the gram -> TakeOrdered(k) (orderBy+limit compiles to a
+    per-partition top-k + driver merge of k*partitions rows — never a full
+    sort of the gram census)."""
+    words = F.split(F.col(text_col), " ", -1)
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (docs.select(F.explode(grams).alias("gram"))
+            .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("gram"))
+            .limit(k))
+
+
+def deterministic_split(docs: DataFrame, train: float = 0.9,
+                        valid: float = 0.05,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/valid/test assignment by the portable KMV hash
+    of the id: stable across runs, engines and cluster sizes, and disjoint
+    by construction. Pure projection — zero shuffles."""
+    from .sketch import kmv_hash
+
+    if not (0 < train < 1 and 0 <= valid < 1 and train + valid <= 1):
+        raise ValueError("need 0<train<1, 0<=valid, train+valid<=1")
+    u = F.pmod(kmv_hash(F.col(id_col)), F.lit(10_000))
+    t_hi = int(round(train * 10_000))
+    v_hi = t_hi + int(round(valid * 10_000))
+    split = (F.when(u < t_hi, "train")
+             .when(u < v_hi, "valid").otherwise("test"))
+    return docs.select(F.col(id_col), split.alias("split"))
+
+
+def deterministic_split_case_sql(train: float = 0.9, valid: float = 0.05,
+                                 id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`deterministic_split`'s CASE expression."""
+    from .sketch import kmv_hash_sql
+
+    t_hi = int(round(train * 10_000))
+    v_hi = t_hi + int(round(valid * 10_000))
+    u = f"({kmv_hash_sql(id_col)} % 10000)"
+    return (f"CASE WHEN {u} < {t_hi} THEN 'train' "
+            f"WHEN {u} < {v_hi} THEN 'valid' ELSE 'test' END")

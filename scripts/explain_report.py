@@ -213,6 +213,44 @@ def main():
                    len(re.findall(r"Exchange \(\d+\)", p)) == 0
                    and "MapInPandas" in p))
 
+    # 11. round-5 analytics ops: the shuffle-shape claims in their docstrings
+    # funnel: all three stages + the final agg must share ONE user exchange
+    p = plan_of(entrymod.queries()["funnel"](spark, "/root/testdata/sf0.001"))
+    sections["funnel (stacked windows, one exchange)"] = p
+    checks.append(("funnel resolves 3 stages in ONE exchange",
+                   len(re.findall(r"Exchange \(\d+\)", p)) == 1
+                   and "Join" not in p))
+
+    # counter_agg: the final per-key aggregation reuses the lag window's
+    # hash partitioning (one exchange total)
+    p = plan_of(entrymod.queries()["counter_rate_1h"](
+        spark, "/root/testdata/sf0.001"))
+    sections["counter_rate_1h (window + agg, one exchange)"] = p
+    checks.append(("counter agg reuses the lag window's exchange",
+                   len(re.findall(r"Exchange \(\d+\)", p)) == 1))
+
+    # repetition ratio: pure per-row array expressions — ZERO exchanges
+    p = plan_of(entrymod.queries()["docs_repetition"](
+        spark, "/root/testdata/sf0.001"))
+    sections["docs_repetition (zero-shuffle array expressions)"] = p
+    checks.append(("repetition ratio has zero exchanges",
+                   len(re.findall(r"Exchange \(\d+\)", p)) == 0))
+
+    # vocab census: orderBy+limit must compile to TakeOrdered, not a
+    # global Sort of the gram counts
+    p = plan_of(entrymod.queries()["vocab_top50"](
+        spark, "/root/testdata/sf0.001"))
+    sections["vocab_top50 (TakeOrdered top-k)"] = p
+    checks.append(("vocab top-k is TakeOrdered, not a global sort",
+                   "TakeOrderedAndProject" in p))
+
+    # ewma: the fold stays in Catalyst — no Python evaluator in the plan
+    p = plan_of(entrymod.queries()["ewma_1h"](spark, "/root/testdata/sf0.001"))
+    sections["ewma_1h (in-engine aggregate fold)"] = p
+    checks.append(("ewma fold is Catalyst-only (no Python eval)",
+                   "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+                   and "FlatMapGroupsInPandas" not in p))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_report.py)\n"]
     out.append("## Checks\n")
     for name, ok in checks:

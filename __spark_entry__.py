@@ -717,6 +717,27 @@ def q_vocab_top50(spark, sf_dir):
     return vocab_topk(_docs(spark, sf_dir), k=50, n=2)
 
 
+def q_state_durations(spark, sf_dir):
+    """TimescaleDB state_agg twin: per user, time spent in each event_type
+    'state' (a state holds until the user's next event; the last event
+    closes the timeline). One window exchange reused by the final agg."""
+    from hastl_spark.operators.state import state_durations
+
+    return state_durations(_events(spark, sf_dir), key_col="user_id",
+                           ts_col="ts", state_col="event_type",
+                           tiebreak_col="event_id")
+
+
+def q_heartbeat_uptime(spark, sf_dir):
+    """TimescaleDB heartbeat_agg twin: treating each user's events as
+    liveness heartbeats with a 1h window, the measure of the union of
+    [ts, ts+1h] intervals plus the island count (gap > 1h splits)."""
+    from hastl_spark.operators.state import heartbeat_uptime
+
+    return heartbeat_uptime(_events(spark, sf_dir), key_col="user_id",
+                            ts_col="ts", window_seconds=3600.0)
+
+
 def q_docs_split(spark, sf_dir):
     """Deterministic 90/5/5 train/valid/test split by the portable KMV
     hash of doc_id — stable across runs, engines, cluster sizes."""
@@ -789,6 +810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top3": q_tfidf_top3,
         "vocab_top50": q_vocab_top50,
         "docs_split": q_docs_split,
+        "state_durations": q_state_durations,
+        "heartbeat_uptime": q_heartbeat_uptime,
         # rows-only (no SQL equivalent: the STL/LOESS numeric kernels)
         "stl_gapfill_1h": q_stl_gapfill_1h,
         "loess_smooth_1h": q_loess_smooth_1h,
@@ -1561,6 +1584,40 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT gram, count(*) AS cnt FROM x GROUP BY 1
         ORDER BY cnt DESC, gram ASC LIMIT 50
+    """
+    d["state_durations"] = """
+        WITH s AS (
+          SELECT user_id, event_type AS state, ts,
+                 lead(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+          FROM events
+        )
+        SELECT user_id, state, count(*) AS n_entries,
+               round(sum(CASE WHEN nxt IS NOT NULL
+                              THEN (epoch_us(nxt) - epoch_us(ts)) / 1000000.0
+                              ELSE 0.0 END), 6) AS total_seconds
+        FROM s GROUP BY 1, 2
+    """
+    d["heartbeat_uptime"] = """
+        WITH s AS (
+          SELECT user_id, ts,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+          FROM events
+        ), st AS (
+          SELECT user_id,
+                 CASE WHEN nxt IS NULL THEN CAST(3600.0 AS DOUBLE)
+                      ELSE least((epoch_us(nxt) - epoch_us(ts)) / 1000000.0,
+                                 CAST(3600.0 AS DOUBLE)) END AS live,
+                 CASE WHEN nxt IS NOT NULL
+                           AND (epoch_us(nxt) - epoch_us(ts)) / 1000000.0
+                               > 3600.0
+                      THEN 1 ELSE 0 END AS brk
+          FROM s
+        )
+        SELECT user_id, count(*) AS n_beats,
+               CAST(sum(brk) + 1 AS BIGINT) AS n_islands,
+               round(sum(live), 6) AS uptime_seconds
+        FROM st GROUP BY 1
     """
     from hastl_spark.operators.text import deterministic_split_case_sql
 

@@ -62,6 +62,7 @@ HEADLINE = [
     "anomalies_1h", "downsample_ltob",
     "counter_rate_1h", "histogram_day", "funnel", "ewma_1h",
     "docs_repetition", "tfidf_top3", "vocab_top50", "docs_split",
+    "state_durations", "heartbeat_uptime",
     "stl_gapfill_1h", "loess_smooth_1h", "gorilla_roundtrip_1h",
     "trend_strength",
 ]
@@ -235,7 +236,16 @@ def main():
     }
     if "efficiency" in out:
         compact["efficiency"] = out["efficiency"]
-    print(json.dumps(compact, separators=(",", ":")))
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # the driver captures only the last 2000 chars of stdout (the
+        # round-4 artifact arrived truncated mid-JSON): keep the slowest
+        # queries, note the drop, full record stays in BENCH/bench_full.json
+        slow = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:40])
+        compact["queries"] = {n: round(v, 2) for n, v in slow.items()}
+        compact["queries_truncated"] = len(timings) - len(slow)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

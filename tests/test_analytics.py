@@ -205,3 +205,44 @@ def test_deterministic_split_disjoint_stable(spark):
     assert abs(frac.get("test", 0) - 0.05) < 0.02
     with pytest.raises(ValueError):
         deterministic_split(docs, 0.9, 0.2)
+
+
+# ---------------------------------------------------------------- state/uptime
+
+
+def test_state_durations_hand_case(spark):
+    from hastl_spark.operators.state import state_durations
+
+    rows = [  # u1: A for 10s, B for 20s, A closes the timeline (0s)
+        (1, _ts(0), "A", 1), (1, _ts(10), "B", 2), (1, _ts(30), "A", 3),
+        # u2: single event -> zero duration
+        (2, _ts(0), "A", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, state string, event_id long")
+    got = {(r["user_id"], r["state"]): (r["n_entries"], r["total_seconds"])
+           for r in state_durations(df, key_col="user_id",
+                                    tiebreak_col="event_id").collect()}
+    assert got[(1, "A")] == (2, 10.0)
+    assert got[(1, "B")] == (1, 20.0)
+    assert got[(2, "A")] == (1, 0.0)
+
+
+def test_heartbeat_uptime_islands(spark):
+    from hastl_spark.operators.state import heartbeat_uptime
+
+    rows = [  # W=60: beats at 0,30,50 form one island (union [0,110]);
+        # beat at 300 is its own island ([300,360])
+        (1, _ts(0)), (1, _ts(30)), (1, _ts(50)), (1, _ts(300)),
+        (2, _ts(0)),  # single beat: one island of exactly W
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["user_id"]: (r["n_beats"], r["n_islands"], r["uptime_seconds"])
+           for r in heartbeat_uptime(df, key_col="user_id",
+                                     window_seconds=60.0).collect()}
+    assert got[1] == (4, 2, 110.0 + 60.0)
+    assert got[2] == (1, 1, 60.0)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        heartbeat_uptime(df, key_col="user_id", window_seconds=0)

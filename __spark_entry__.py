@@ -113,16 +113,13 @@ def q_dow_profile(spark, sf_dir):
 
 
 def q_sessions(spark, sf_dir):
-    """Sessionization: 30-min-gap session starts per user via lag + windowed sum."""
+    """Sessionization: 30-min-gap session starts per user (operator:
+    hastl_spark/operators/sessionize.py, single key exchange)."""
+    from hastl_spark.operators.sessionize import session_counts
+
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    starts = ev.withColumn(
-        "is_start", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    )
-    return starts.groupBy("user_id").agg(
-        F.sum("is_start").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
-    )
+    return session_counts(ev, gap_s=1800, ts_col="ts", key_cols="user_id",
+                          tiebreak_cols="event_id")
 
 
 def q_lineitem_pricing(spark, sf_dir):

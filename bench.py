@@ -221,8 +221,11 @@ def main():
     # truncated mid-JSON. Print one short final line with the contract
     # fields only.
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
-    with open(os.path.join(ROOT, "BENCH", "bench_full.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    # per-SF artifact so a quick sf0.01 smoke can never clobber the
+    # headline sf0.1 record; bench_full.json stays as "latest run"
+    for name in (f"bench_full_sf{sf}.json", "bench_full.json"):
+        with open(os.path.join(ROOT, "BENCH", name), "w") as f:
+            json.dump(out, f, indent=1)
 
     compact = {
         "metric": out["metric"],

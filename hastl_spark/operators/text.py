@@ -246,7 +246,13 @@ def repetition_ratio(docs: DataFrame, n: int = 3, text_col: str = "text",
 
     Scale shape: ZERO shuffles — the n-gram list, distinct-count and ratio
     are all per-row Catalyst array expressions, so the plan is a bare
-    projected scan. The document never explodes into per-gram rows."""
+    projected scan. The document never explodes into per-gram rows.
+
+    Shape A/B'd at sf0.1 (r5): struct-tuple grams (no string alloc) are
+    2.6x SLOWER (array_distinct over structs falls back to interpreted
+    ordering), per-element ``element_at`` concat 2.2x slower than the
+    slice+concat_ws below; the bench number is single-task at toy scale
+    (one parquet file) and parallelizes linearly at corpus scale."""
     words = F.split(F.col(text_col), " ", -1)
     grams = F.when(
         F.size(words) >= n,

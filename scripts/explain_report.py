@@ -244,6 +244,13 @@ def main():
     checks.append(("vocab top-k is TakeOrdered, not a global sort",
                    "TakeOrderedAndProject" in p))
 
+    # state/heartbeat: lead window + final agg on ONE reused key exchange
+    for qname in ("state_durations", "heartbeat_uptime"):
+        p = plan_of(entrymod.queries()[qname](spark, "/root/testdata/sf0.001"))
+        sections[f"{qname} (window + agg, one exchange)"] = p
+        checks.append((f"{qname} reuses the lead window's exchange",
+                       len(re.findall(r"Exchange \(\d+\)", p)) == 1))
+
     # ewma: the fold stays in Catalyst — no Python evaluator in the plan
     p = plan_of(entrymod.queries()["ewma_1h"](spark, "/root/testdata/sf0.001"))
     sections["ewma_1h (in-engine aggregate fold)"] = p

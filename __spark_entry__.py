@@ -301,6 +301,24 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_pairs_portable(docs, n=5, k=16, bands=4, threshold=0.35)
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental dedup against a PERSISTED MinHash index: docs < 200 are
+    ingested into a band-partitioned KeyedTable, then docs [200, 300) are
+    probed against it — pairs touching a new doc, exactly the batch LSH
+    result restricted to new pairs (operators/dedup_index.py). The probe
+    reads only index buckets the new batch touches."""
+    import tempfile
+
+    from hastl_spark.operators.dedup_index import MinHashIndex
+
+    idx = MinHashIndex(tempfile.mkdtemp(prefix="mh_idx_"), n=5, k=16, bands=4)
+    docs = _docs(spark, sf_dir)
+    idx.build(spark, docs.filter("doc_id < 200"))
+    pairs, _ = idx.dedup_incremental(
+        spark, docs.filter("doc_id >= 200 AND doc_id < 300"), threshold=0.35)
+    return pairs
+
+
 def q_simhash_portable(spark, sf_dir):
     """SimHash with SQL-portable per-bit hashes (value-checked; the faster
     xxhash64 variant is exercised by tests + simhash_near_pairs)."""
@@ -782,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_real_decode": q_media_real_decode,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_incremental": q_minhash_incremental,
         "ann_topk": q_ann_topk,
         "contamination": q_contamination,
         "pack_assignments": q_pack_assignments,
@@ -1013,6 +1032,11 @@ def oracle_sql() -> dict[str, str]:
                                     ).minhash_pairs_portable_oracle_sql(
                                         n=5, k=16, bands=4, threshold=0.35,
                                         max_doc=300),
+        "minhash_incremental": __import__(
+            "hastl_spark.operators.dedup_index",
+            fromlist=["minhash_incremental_oracle_sql"]
+        ).minhash_incremental_oracle_sql(
+            n=5, k=16, bands=4, threshold=0.35, old_max=200, new_max=300),
         "ann_topk": __import__("hastl_spark.operators.similarity",
                                fromlist=["ann_topk_portable_oracle_sql"]
                                ).ann_topk_portable_oracle_sql(

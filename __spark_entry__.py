@@ -432,6 +432,24 @@ def q_ivf_topk_full(spark, sf_dir):
     )
 
 
+def q_ivf_incremental(spark, sf_dir):
+    """IVF index MAINTENANCE path: build a persisted cell-partitioned index
+    on vec_id < 300, incrementally assign [300, 500) with the stored
+    centroids (no retrain), then search the PERSISTED table at full probe —
+    provably equal to exact kNN over the union, so it shares the
+    brute-force oracle (operators/ivf_store.py)."""
+    import tempfile
+
+    from hastl_spark.operators.ivf_store import IVFStore
+
+    embs = _embs(spark, sf_dir).filter("vec_id < 500")
+    store = IVFStore(tempfile.mkdtemp(prefix="ivf_idx_"))
+    store.build(spark, embs.filter("vec_id < 300"), dim=64, n_lists=16)
+    store.add(spark, embs.filter("vec_id >= 300"))
+    return store.topk(spark, embs.filter("vec_id < 8"), k=5,
+                      n_probe=16).select("query_id", "neighbor_id", "rank")
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal feature extraction (mapInPandas over binary payloads) —
     posexploded to scalar rows so every column is sortable/hashable, and
@@ -797,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_portable": q_simhash_portable,
         "fingerprints_portable": q_fingerprints_portable,
         "ivf_topk_full": q_ivf_topk_full,
+        "ivf_incremental": q_ivf_incremental,
         "media_features": q_media_features,
         "media_real_decode": q_media_real_decode,
         "minhash_pairs": q_minhash_pairs,
@@ -1094,6 +1113,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT q.query_id, e.vec_id AS neighbor_id,
                      list_cosine_similarity(q.qvec, e.embedding) AS cosine
               FROM embeddings e, q WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored QUALIFY rank <= 5
+        """,
+        # incremental build (300 base + 200 added) at full probe == exact
+        # kNN over the 500-vector union -> brute-force oracle
+        "ivf_incremental": """
+            WITH c AS (SELECT * FROM embeddings WHERE vec_id < 500),
+            q AS (SELECT vec_id AS query_id, embedding AS qvec
+                  FROM c WHERE vec_id < 8),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qvec, e.embedding) AS cosine
+              FROM c e, q WHERE e.vec_id <> q.query_id
             )
             SELECT query_id, neighbor_id,
                    CAST(row_number() OVER (PARTITION BY query_id

@@ -274,6 +274,58 @@ def q_stl_gapfill_1h(spark, sf_dir):
     )
 
 
+def q_gapfill_diag(spark, sf_dir):
+    """STL gap-fill DIAGNOSTICS, value-checked: per event_type, grid size,
+    observed/missing bucket counts, longest missing run, and the STL-path
+    invariants measured from the ACTUAL decomposition output — number of
+    filled gaps (must equal n_missing when the series is long enough for a
+    seasonal fit), reconstruction violations at observed points (must be
+    0: gapfilled IS y there), and remainder-NaN mismatch (remainder is NaN
+    exactly at gaps — stl.fut:378-381). The oracle computes the expected
+    values from the raw events in pure SQL, so the driver value-checks the
+    STL grid construction and output structure that the rows-only
+    stl_gapfill_1h query cannot pin."""
+    from hastl_spark.operators.gapfill import stl_gapfill
+
+    h1 = _rollup_events_1h_raw(spark, sf_dir)
+    gap = stl_gapfill(h1, value_col="cnt", bucket_seconds=3600, n_p=24,
+                      q_s=13, d_s=0, key_col="event_type", n_keys=8)
+    # Arrow maps a NaN in a nullable float column to NULL on the way out of
+    # applyInPandas — a grid hole surfaces as y IS NULL; accept either form
+    def _absent(c):
+        return F.col(c).isNull() | F.isnan(c)
+
+    g = gap.select("event_type", "bucket", "y", "gapfilled", "remainder",
+                   _absent("y").alias("miss"))
+    base = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_grid"),
+        F.sum(F.when(~F.col("miss"), 1).otherwise(0)).alias("n_observed"),
+        F.sum(F.when(F.col("miss"), 1).otherwise(0)).alias("n_missing"),
+        F.sum(F.when(F.col("miss") & ~_absent("gapfilled"), 1)
+              .otherwise(0)).alias("n_filled"),
+        F.sum(F.when(~F.col("miss") & (F.col("gapfilled") != F.col("y")), 1)
+              .otherwise(0)).alias("reconstruct_violations"),
+        (F.sum(F.when(_absent("remainder"), 1).otherwise(0))
+         - F.sum(F.when(F.col("miss"), 1).otherwise(0))
+         ).alias("remainder_nan_mismatch"),
+    )
+    # longest missing run: gaps-and-islands over the hourly grid
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    runs = (g.filter("miss")
+            .withColumn("_grp", F.expr("unix_timestamp(bucket) div 3600")
+                        - F.row_number().over(w))
+            .groupBy("event_type", "_grp")
+            .agg(F.count(F.lit(1)).alias("run_len"))
+            .groupBy("event_type")
+            .agg(F.max("run_len").alias("_lg")))
+    return (base.join(runs, "event_type", "left")
+            .select("event_type", "n_grid", "n_observed", "n_missing",
+                    "n_filled",
+                    F.coalesce("_lg", F.lit(0)).cast("long")
+                    .alias("longest_gap"),
+                    "reconstruct_violations", "remainder_nan_mismatch"))
+
+
 def q_gorilla_roundtrip_1h(spark, sf_dir):
     """Gorilla codec identity: encode the hourly tier into chunks, decode the
     chunks back to points — value-checked against the plain hourly-rollup SQL
@@ -849,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heartbeat_uptime": q_heartbeat_uptime,
         # rows-only (no SQL equivalent: the STL/LOESS numeric kernels)
         "stl_gapfill_1h": q_stl_gapfill_1h,
+        "gapfill_diag": q_gapfill_diag,
         "loess_smooth_1h": q_loess_smooth_1h,
         "trend_strength": q_trend_strength,
     }
@@ -1092,6 +1145,31 @@ def oracle_sql() -> dict[str, str]:
             FROM per_dim GROUP BY 1
         """,
         # gorilla encode->decode must reproduce the hourly tier exactly
+        # the STL invariants (fills == holes, zero reconstruction
+        # violations at observed points, remainder NaN exactly at holes)
+        # stated in SQL over the raw events — the Spark side MEASURES them
+        # from the actual decomposition output
+        "gapfill_diag": """
+            WITH r AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket
+              FROM events GROUP BY 1, 2
+            ), d AS (
+              SELECT event_type,
+                     CAST(epoch(bucket) AS BIGINT) // 3600 AS hr,
+                     lag(CAST(epoch(bucket) AS BIGINT) // 3600)
+                       OVER (PARTITION BY event_type ORDER BY bucket) AS prev_hr
+              FROM r
+            )
+            SELECT event_type,
+                   CAST(max(hr) - min(hr) + 1 AS BIGINT) AS n_grid,
+                   CAST(count(*) AS BIGINT) AS n_observed,
+                   CAST(max(hr) - min(hr) + 1 - count(*) AS BIGINT) AS n_missing,
+                   CAST(max(hr) - min(hr) + 1 - count(*) AS BIGINT) AS n_filled,
+                   CAST(coalesce(max(hr - prev_hr - 1), 0) AS BIGINT) AS longest_gap,
+                   CAST(0 AS BIGINT) AS reconstruct_violations,
+                   CAST(0 AS BIGINT) AS remainder_nan_mismatch
+            FROM d GROUP BY event_type
+        """,
         "gorilla_roundtrip_1h": """
             SELECT event_type AS source, date_trunc('hour', ts) AS bucket,
                    round(sum(value), 4) AS sum_value

@@ -217,6 +217,8 @@ class KeyedTable:
         man["partition_col"] = self.partition_col
         if self.part_spec:
             man["part_spec"] = self.part_spec
+        record["partition_map"] = dict(man["partitions"])
+        record["watermark_map"] = dict(man["watermarks"])
         man["lineage"].append(record)
         self._publish(man)
         return record
@@ -438,6 +440,8 @@ class KeyedTable:
             man["part_spec"] = self.part_spec
         if props:
             man.setdefault("props", {}).update(props)
+        record["partition_map"] = dict(man["partitions"])
+        record["watermark_map"] = dict(man["watermarks"])
         man["lineage"].append(record)
         self._publish(man)
         if keep_data:
@@ -504,9 +508,88 @@ class KeyedTable:
             man["part_spec"] = self.part_spec
         if props:
             man.setdefault("props", {}).update(props)
+        record["partition_map"] = dict(man["partitions"])
+        record["watermark_map"] = dict(man["watermarks"])
         man["lineage"].append(record)
         self._publish(man)
         return record
+
+    # ---- time travel (Iceberg snapshot-read / rollback parity) ----
+    def snapshots(self) -> list[dict]:
+        """Snapshot history: (snapshot, op, partitions touched, rows_in,
+        ts) per committed change — the Iceberg `.snapshots` metadata
+        surface."""
+        return [{k: r.get(k) for k in
+                 ("snapshot", "op", "partitions", "rows_in", "ts")}
+                for r in self._load()["lineage"]]
+
+    def read_snapshot(self, spark: SparkSession, snapshot: int) -> DataFrame:
+        """Time travel: the table content AS OF ``snapshot``. Works while
+        the snapshot's data dirs survive (``vacuum()`` reclaims dirs no
+        longer referenced by the CURRENT manifest, which ends time travel
+        to superseded snapshots — same contract as Iceberg's
+        expire_snapshots)."""
+        rec = self._lineage_record(snapshot)
+        pm = rec.get("partition_map")
+        if pm is None:
+            raise ValueError(
+                f"snapshot {snapshot} of {self.path} predates partition-map"
+                " lineage (written by an older writer) — time travel is"
+                " available for snapshots committed after the upgrade")
+        if not pm:
+            raise ValueError(f"snapshot {snapshot} of {self.path} is empty")
+        missing = [rel for rel in pm.values()
+                   if not os.path.isdir(os.path.join(self.path, rel))]
+        if missing:
+            raise ValueError(
+                f"snapshot {snapshot} of {self.path} was vacuumed "
+                f"(missing dirs: {missing[:3]}...) — cannot time-travel")
+        df = self._read_dirs(spark, pm.values())
+        if self.part_spec:
+            df = df.drop(self.partition_col)
+        return df
+
+    def rollback(self, snapshot: int) -> dict:
+        """Metadata-only rollback: publish a NEW snapshot whose content is
+        the partition map of ``snapshot`` (Iceberg rollback semantics — the
+        history keeps moving forward, no data files are touched)."""
+        rec = self._lineage_record(snapshot)
+        pm = rec.get("partition_map")
+        if pm is None:
+            raise ValueError(
+                f"snapshot {snapshot} of {self.path} has no partition map —"
+                " cannot roll back to it")
+        man = self._load()
+        snap = man["snapshot"] + 1
+        man["partitions"] = dict(pm)
+        wm = rec.get("watermark_map")
+        man["watermarks"] = (dict(wm) if wm is not None else
+                             {p: w for p, w in man["watermarks"].items()
+                              if p in pm})
+        record = {
+            "snapshot": snap,
+            "op": "rollback",
+            "rolled_back_to": snapshot,
+            "partitions": sorted(pm),
+            "rows_in": 0,
+            "wall_s": 0.0,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "partition_map": dict(pm),
+            "watermark_map": dict(man["watermarks"]),
+        }
+        man["snapshot"] = snap
+        man["lineage"].append(record)
+        self._publish(man)
+        return record
+
+    def _lineage_record(self, snapshot: int) -> dict:
+        rec = next((r for r in self._load()["lineage"]
+                    if r["snapshot"] == snapshot), None)
+        if rec is None:
+            raise ValueError(
+                f"no snapshot {snapshot} in {self.path} (have "
+                f"{[r['snapshot'] for r in self._load()['lineage']]})")
+        return rec
 
     def vacuum(self) -> int:
         """Delete data dirs no longer referenced by the manifest (superseded

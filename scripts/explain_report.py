@@ -251,6 +251,18 @@ def main():
         checks.append((f"{qname} reuses the lead window's exchange",
                        len(re.findall(r"Exchange \(\d+\)", p)) == 1))
 
+    # corpus_prep: the composed pipeline keeps its component plan shapes —
+    # benchmark shingles broadcast (corpus never shuffles for the
+    # contamination stage) and the exact-dedup exchange carries xxhash64
+    # keys, not document bodies
+    p = plan_of(entrymod.queries()["corpus_prep"](
+        spark, "/root/testdata/sf0.001"))
+    sections["corpus_prep (composed pipeline)"] = p
+    checks.append(("corpus_prep broadcasts the benchmark shingle set",
+                   "BroadcastHashJoin" in p))
+    checks.append(("corpus_prep dedup exchange carries hash keys",
+                   "xxhash64" in p))
+
     # ewma: the fold stays in Catalyst — no Python evaluator in the plan
     p = plan_of(entrymod.queries()["ewma_1h"](spark, "/root/testdata/sf0.001"))
     sections["ewma_1h (in-engine aggregate fold)"] = p

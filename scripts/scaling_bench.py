@@ -114,13 +114,19 @@ def build_zip() -> str:
 def gen_input(scale: str) -> str:
     path = os.path.join(WORKDIR, f"sequences_{scale}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        sys.path.insert(0, ROOT)
-        from hastl_spark.session import get_spark
-        from hastl_spark.sources.sequences import generate_scale
-
-        spark = get_spark(16, app_name="gen-scaling-input")
-        generate_scale(spark, scale).write.mode("overwrite").parquet(path)
-        spark.stop()
+        # generate in a CHILD python so the pyspark gateway JVM fully exits
+        # before measurement: spark.stop() in-process leaves the gateway
+        # attached to this long-lived script (observed as an unreaped child
+        # during the round-5 run)
+        code = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "from hastl_spark.session import get_spark\n"
+            "from hastl_spark.sources.sequences import generate_scale\n"
+            "spark = get_spark(16, app_name='gen-scaling-input')\n"
+            "generate_scale(spark, %r).write.mode('overwrite').parquet(%r)\n"
+            "spark.stop()\n" % (ROOT, scale, path))
+        subprocess.run([sys.executable, "-c", code], check=True,
+                       timeout=3600)
     return path
 
 

@@ -388,6 +388,43 @@ def q_fingerprints_portable(spark, sf_dir):
     return fingerprint_portable_np(_docs(spark, sf_dir))
 
 
+def q_docs_rarity(spark, sf_dir):
+    """Per-doc mean corpus token frequency (unigram rarity quality signal).
+    Integer sums + one final double division -> cross-engine bit-identical
+    (the tf x linear-idf precedent)."""
+    from hastl_spark.operators.text import token_rarity
+
+    return token_rarity(_docs(spark, sf_dir))
+
+
+def q_corpus_prep(spark, sf_dir):
+    """END-TO-END training-corpus preparation composed as ONE Catalyst
+    plan: quality filter (composite heuristic >= 0.8) -> exact dedup (min
+    doc_id survives per identical text; the exchange carries 16-byte hash
+    keys, not bodies) -> benchmark decontamination (16-gram overlap vs the
+    doc_id % 97 == 0 subset, broadcast — the corpus never shuffles) ->
+    concat-and-chunk packing of the survivors (distributed prefix sum).
+    The DuckDB oracle composes the same stages in SQL, so the whole
+    pipeline — filters, survivorship, pack arithmetic — is value-checked
+    as a unit, not just stage by stage."""
+    from hastl_spark.operators.dedup import (contamination_flags,
+                                             exact_dup_groups)
+    from hastl_spark.operators.packing import pack_sequences
+    from hastl_spark.operators.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs).filter(F.col("quality") >= 0.8)
+    keep = exact_dup_groups(q).select(F.col("keep_id").alias("doc_id"))
+    surv = q.join(keep, "doc_id")
+    flags = contamination_flags(surv, docs.filter("doc_id % 97 = 0"), n=16)
+    clean = surv.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id")
+    packed = pack_sequences(clean, _PACK_BUDGET)
+    return (clean.select("doc_id", "quality").join(packed, "doc_id")
+            .select("doc_id", "source", "quality",
+                    "pack_id", "pack_offset", "packs_spanned"))
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: distinct 16-gram overlap counts of every
     doc against a deterministic ~1% benchmark subset (doc_id % 97 == 0),
@@ -874,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": q_minhash_incremental,
         "ann_topk": q_ann_topk,
         "contamination": q_contamination,
+        "corpus_prep": q_corpus_prep,
+        "docs_rarity": q_docs_rarity,
         "pack_assignments": q_pack_assignments,
         "packs_summary": q_packs_summary,
         "pack_tokens": q_pack_tokens,
@@ -1308,6 +1347,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
                    COALESCE(h.n_hits, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN h USING (doc_id)
+        """,
+        # integer tf/cf sums; ONE double division at the end (bit-identical
+        # cross-engine; an ln-based logprob would not be)
+        "docs_rarity": """
+            WITH w AS (
+              SELECT doc_id, u.term FROM documents,
+                     unnest(string_split(text, ' ')) AS u(term)
+              WHERE u.term <> ''
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2
+            ), cf AS (
+              SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1
+            ), tot AS (
+              SELECT CAST(sum(cf) AS DOUBLE) AS total FROM cf
+            ), per_doc AS (
+              SELECT doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+                     CAST(sum(tf.tf * cf.cf) AS BIGINT) AS cf_sum
+              FROM tf JOIN cf USING (term) GROUP BY 1
+            )
+            SELECT doc_id, n_tokens, cf_sum,
+                   cf_sum / (n_tokens * (SELECT total FROM tot)) AS rarity
+            FROM per_doc
+        """,
+        # the corpus-prep pipeline composed in SQL: quality >= 0.8 ->
+        # min-id per identical text -> drop 16-gram benchmark overlap ->
+        # windowed-cumsum packing (BIGINT casts per the HUGEINT discipline)
+        "corpus_prep": f"""
+            WITH s AS (
+              SELECT doc_id, source, n_chars, text, length(text) AS chars,
+                     CAST({_STOP_SQL} AS BIGINT) AS stop_cnt,
+                     round(({_PUNCT_SQL}) / length(text), 6) AS punct_ratio
+              FROM documents
+            ), q AS (
+              SELECT doc_id, source, n_chars, text, round((
+                (CASE WHEN chars BETWEEN 64 AND 4096 THEN 1.0 ELSE 0.3 END) +
+                (CASE WHEN stop_cnt >= 1 THEN 1.0 ELSE 0.5 END) +
+                (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.6 END)) / 3.0,
+                6) AS quality
+              FROM s
+            ), qf AS (
+              SELECT * FROM q WHERE quality >= 0.8
+            ), keep AS (
+              SELECT min(doc_id) AS doc_id FROM qf GROUP BY text
+            ), surv AS (
+              SELECT qf.* FROM qf JOIN keep USING (doc_id)
+            ), bench AS (
+              SELECT DISTINCT substr(text, g, 16) AS ngram
+              FROM documents,
+                   unnest(range(1, greatest(length(text) - 15, 1) + 1)) AS u(g)
+              WHERE doc_id % 97 = 0 AND length(substr(text, g, 16)) = 16
+            ), dg AS (
+              SELECT DISTINCT doc_id, substr(text, g, 16) AS ngram
+              FROM surv,
+                   unnest(range(1, greatest(length(text) - 15, 1) + 1)) AS u(g)
+              WHERE length(substr(text, g, 16)) = 16
+            ), dirty AS (
+              SELECT DISTINCT doc_id FROM dg JOIN bench USING (ngram)
+            ), clean AS (
+              SELECT * FROM surv
+              WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+            ), c AS (
+              SELECT doc_id, source, quality, n_chars,
+                     sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+                         AS cum
+              FROM clean
+            )
+            SELECT doc_id, source, quality,
+                   CAST((cum - n_chars) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+                   CAST((cum - n_chars) % {_PACK_BUDGET} AS BIGINT)
+                       AS pack_offset,
+                   CAST((cum - 1) // {_PACK_BUDGET}
+                        - (cum - n_chars) // {_PACK_BUDGET} + 1 AS INT)
+                       AS packs_spanned
+            FROM c
         """,
         "pack_assignments": f"""
             WITH c AS (

@@ -350,3 +350,37 @@ def deterministic_split_case_sql(train: float = 0.9, valid: float = 0.05,
     u = f"({kmv_hash_sql(id_col)} % 10000)"
     return (f"CASE WHEN {u} < {t_hi} THEN 'train' "
             f"WHEN {u} < {v_hi} THEN 'valid' ELSE 'test' END")
+
+
+def token_rarity(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document corpus-frequency (rarity) score: the mean corpus
+    frequency of the document's token occurrences,
+    ``sum_t count(t) / (n_tokens_doc * total_token_occurrences)``. Low
+    values = rare/unusual vocabulary, high = boilerplate — the unigram
+    twin of a perplexity quality filter.
+
+    Exactness: both sums are int64 aggregates (exact, order-independent)
+    and the score is ONE double division of the same two integers in any
+    engine — bit-identical cross-engine, per the tf x linear-idf
+    precedent (an ``ln``-based logprob would not be).
+
+    Scale shape: explode -> (doc, term) and term-level hash-aggs with
+    map-side combine -> tf x corpus-count shuffle join on term (both
+    corpus-sized; AQE broadcasts the vocab side when it fits) -> per-doc
+    sum. No driver state except the total-occurrences scalar."""
+    words = (docs.select(id_col,
+                         F.explode(F.split(F.col(text_col), " ", -1))
+                         .alias("term"))
+             .filter(F.col("term") != ""))
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf")).collect()[0][0]  # bounded scalar
+    per_doc = (tf.join(cf, "term")
+               .groupBy(id_col)
+               .agg(F.sum("tf").alias("n_tokens"),
+                    F.sum(F.col("tf") * F.col("cf")).alias("cf_sum")))
+    return per_doc.select(
+        F.col(id_col), F.col("n_tokens"), F.col("cf_sum"),
+        (F.col("cf_sum") / (F.col("n_tokens") * F.lit(float(total))))
+        .alias("rarity"))

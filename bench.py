@@ -113,6 +113,13 @@ def main():
     spark = get_spark(cpus, app_name="hastl-bench")
     qs = entrymod.queries()
 
+    # HEADLINE pins a stable cross-round ordering; any contract query not
+    # yet listed is appended automatically so the bench can never silently
+    # under-cover a newly added operator (round-5 lesson: 5 new queries
+    # were invisible to a hardcoded list)
+    headline = [n for n in HEADLINE if n in qs] + sorted(
+        n for n in qs if n not in HEADLINE)
+
     # warm the JVM/Python-worker pools once (not timed per-query)
     qs["rollup_1m"](spark, sf_dir).count()
 
@@ -125,9 +132,9 @@ def main():
         # JVM-side with zero driver transfer.
         df.write.format("noop").mode("overwrite").save()
 
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples: dict[str, list[float]] = {name: [] for name in headline}
     for _ in range(repeat):
-        for name in HEADLINE:
+        for name in headline:
             t0 = time.time()
             consume(qs[name](spark, sf_dir))
             samples[name].append(round(time.time() - t0, 3))

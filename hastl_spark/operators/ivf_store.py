@@ -106,8 +106,19 @@ class IVFStore:
         probed = sorted({str(r.cell) for r in
                          q.select("cell").distinct().collect()})
         have = set(self.table.partition_values())
-        idx = self.table.read_partitions(
-            spark, [p for p in probed if p in have])
+        live = [p for p in probed if p in have]
+        if not live:
+            # every probed cell is empty in the index: no candidates
+            from pyspark.sql.types import (DoubleType, IntegerType,
+                                           StructField, StructType)
+
+            idt = queries.schema[id_col].dataType
+            return spark.createDataFrame([], StructType([
+                StructField("query_id", idt),
+                StructField("neighbor_id", idt),
+                StructField("rank", IntegerType()),
+                StructField("cosine", DoubleType())]))
+        idx = self.table.read_partitions(spark, live)
         idx = idx.withColumn("_nn", _norm(F.col("embedding")))
         cand = (
             idx.join(F.broadcast(q), "cell")

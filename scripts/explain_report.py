@@ -263,6 +263,16 @@ def main():
     checks.append(("corpus_prep dedup exchange carries hash keys",
                    "xxhash64" in p))
 
+    # minhash_incremental: the probe must read the index through a
+    # LEFT-SEMI join on the new batch's (band, bh) buckets — the evidence
+    # that an incremental batch touches only its own band buckets instead
+    # of rescanning the whole index
+    p = plan_of(entrymod.queries()["minhash_incremental"](
+        spark, "/root/testdata/sf0.001"))
+    sections["minhash_incremental (bucket-pruned index probe)"] = p
+    checks.append(("incremental dedup probes the index via left-semi",
+                   "LeftSemi" in p))
+
     # ewma: the fold stays in Catalyst — no Python evaluator in the plan
     p = plan_of(entrymod.queries()["ewma_1h"](spark, "/root/testdata/sf0.001"))
     sections["ewma_1h (in-engine aggregate fold)"] = p

@@ -33,6 +33,22 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _scratch_index_dir(name: str, sf_dir: str) -> str:
+    """Deterministic scratch dir for queries that persist an index table:
+    one dir per (query, sf), WIPED on entry so repeated bench samples
+    rebuild in place instead of leaking a fresh mkdtemp each run."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "hastl_q_idx",
+                     f"{name}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -359,11 +375,14 @@ def q_minhash_incremental(spark, sf_dir):
     probed against it — pairs touching a new doc, exactly the batch LSH
     result restricted to new pairs (operators/dedup_index.py). The probe
     reads only index buckets the new batch touches."""
-    import tempfile
-
     from hastl_spark.operators.dedup_index import MinHashIndex
 
-    idx = MinHashIndex(tempfile.mkdtemp(prefix="mh_idx_"), n=5, k=16, bands=4)
+    # deterministic per-sf scratch path, wiped at query start: a mkdtemp
+    # per invocation leaked one on-disk index per bench sample (review
+    # finding); the wipe happens BEFORE this call's build, so the returned
+    # lazy plan only ever reads its own snapshot
+    idx = MinHashIndex(_scratch_index_dir("mh_idx", sf_dir), n=5, k=16,
+                       bands=4)
     docs = _docs(spark, sf_dir)
     idx.build(spark, docs.filter("doc_id < 200"))
     pairs, _ = idx.dedup_incremental(
@@ -527,12 +546,10 @@ def q_ivf_incremental(spark, sf_dir):
     centroids (no retrain), then search the PERSISTED table at full probe —
     provably equal to exact kNN over the union, so it shares the
     brute-force oracle (operators/ivf_store.py)."""
-    import tempfile
-
     from hastl_spark.operators.ivf_store import IVFStore
 
     embs = _embs(spark, sf_dir).filter("vec_id < 500")
-    store = IVFStore(tempfile.mkdtemp(prefix="ivf_idx_"))
+    store = IVFStore(_scratch_index_dir("ivf_idx", sf_dir))
     store.build(spark, embs.filter("vec_id < 300"), dim=64, n_lists=16)
     store.add(spark, embs.filter("vec_id >= 300"))
     return store.topk(spark, embs.filter("vec_id < 8"), k=5,
@@ -1739,6 +1756,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(greatest(least(floor(value / 50.0), 9), 0) AS INT)
                      AS bin
           FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
         )
         SELECT event_type, day, bin,
                round(bin * CAST(50.0 AS DOUBLE), 6) AS bin_lo,

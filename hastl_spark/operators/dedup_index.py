@@ -90,28 +90,42 @@ class MinHashIndex:
 
     # ---- writes ----
     def build(self, spark: SparkSession, docs: DataFrame,
-              text_col: str = "text", id_col: str = "doc_id") -> dict:
+              text_col: str = "text", id_col: str = "doc_id",
+              _rows: DataFrame | None = None) -> dict:
         """(Re)ingest ``docs`` into the index (keyed upsert — re-ingesting
-        the same doc_id replaces its rows). Returns the lineage record."""
-        rows = self.band_rows(docs, text_col=text_col, id_col=id_col)
+        the same doc_id replaces its rows). Returns the lineage record.
+        ``_rows``: precomputed band rows (dedup_incremental reuses its
+        cached probe-side frame so signatures are computed once)."""
+        rows = _rows if _rows is not None else self.band_rows(
+            docs, text_col=text_col, id_col=id_col)
         return self.table.merge_upsert(
             spark, rows, props={self.PROP_KEY: self._params_json()})
 
     # ---- incremental probe ----
     def probe(self, spark: SparkSession, new_docs: DataFrame,
               threshold: float = 0.35, max_bucket: int | None = 65536,
-              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+              text_col: str = "text", id_col: str = "doc_id",
+              _new_rows: DataFrame | None = None) -> DataFrame:
         """Candidate near-dup pairs (id_a < id_b, est_jaccard >= threshold)
         where AT LEAST ONE side is from ``new_docs`` — new-vs-indexed and
         new-vs-new, exactly the batch result restricted to new pairs.
 
         The plan reads only index band buckets the new batch touches.
         Evaluate (or persist) the result before ``vacuum()`` on the table:
-        the scan pins the snapshot paths current at plan-build time."""
+        the scan pins the snapshot paths current at plan-build time.
+
+        ``_new_rows``: precomputed (and caller-persisted/unpersisted) band
+        rows of the new batch — used by :meth:`dedup_incremental` so the
+        signatures are computed once and the cache is RELEASED after the
+        pairs materialize (a probe-internal persist would leak one cached
+        frame per call — review finding). A bare probe() recomputes the
+        new batch's signatures for the bucket-touch pass instead of
+        caching (two passes over the NEW batch only; it stays leak-free
+        for ad-hoc use)."""
         hs = [f"h{j}" for j in range(self.k)]
-        new_rows = self.band_rows(new_docs, text_col=text_col,
-                                  id_col=id_col).withColumn("_new", F.lit(1))
-        new_rows = new_rows.persist()
+        new_rows = _new_rows if _new_rows is not None else self.band_rows(
+            new_docs, text_col=text_col, id_col=id_col)
+        new_rows = new_rows.withColumn("_new", F.lit(1))
         touched = new_rows.select("band", "bh").distinct()
         sides = [new_rows]
         if self.table.exists():
@@ -157,14 +171,19 @@ class MinHashIndex:
         the new batch (collected eagerly — the probe must read the
         pre-merge snapshot) and the merge lineage record (None when
         ``merge=False``)."""
+        new_rows = self.band_rows(new_docs, text_col=text_col,
+                                  id_col=id_col).persist()
         pairs = self.probe(spark, new_docs, threshold=threshold,
                            max_bucket=max_bucket, text_col=text_col,
-                           id_col=id_col).persist()
+                           id_col=id_col, _new_rows=new_rows).persist()
         pairs.count()  # pin results before the index advances
         record = None
         if merge:
+            # the merge reuses the cached band rows: signatures are
+            # computed ONCE per batch across probe + index write
             record = self.build(spark, new_docs, text_col=text_col,
-                                id_col=id_col)
+                                id_col=id_col, _rows=new_rows)
+        new_rows.unpersist()  # pairs are materialized; release the cache
         return pairs, record
 
 

@@ -56,19 +56,29 @@ class IVFStore:
         C = train_centroids(embeddings, dim=dim, n_lists=n_lists,
                             sample=sample, iters=iters, seed=seed,
                             id_col=id_col, vec_col=vec_col)
-        rows = self._assign(embeddings, C, id_col, vec_col)
-        # build-time quantizer fit, recorded alongside the centroids: the
-        # retrain signal is RELATIVE degradation from this number (an
-        # absolute cosine floor is meaningless across dimensions — random
-        # 64-dim data tops out near 0.28 even for a perfect quantizer)
-        fit = (self._fit_cos(rows, C)
-               .agg((F.sum(F.col("_cos") * 1.0) / F.count(F.lit(1)))
-                    .alias("m")).collect()[0].m)
-        props = {self.PROP_KEY: json.dumps(C.tolist()),
-                 self.FIT_KEY: repr(float(fit))}
-        if self.table.exists():
-            return self.table.overwrite(spark, rows, props=props)
-        return self.table.merge_upsert(spark, rows, props=props)
+        # persist: the pandas-UDF assignment (the dominant cost) would
+        # otherwise execute twice — once for the fit scalar, once inside
+        # the table write (review finding)
+        rows = self._assign(embeddings, C, id_col, vec_col).persist()
+        try:
+            # build-time quantizer fit, recorded with the centroids: the
+            # retrain signal is RELATIVE degradation from this number (an
+            # absolute cosine floor is meaningless across dimensions —
+            # random 64-dim data tops out near 0.28 even for a perfect
+            # quantizer)
+            fit = (self._fit_cos(rows, C)
+                   .agg((F.sum(F.col("_cos") * 1.0) / F.count(F.lit(1)))
+                        .alias("m")).collect()[0].m)
+            if fit is None:
+                raise ValueError("cannot build an IVF index from an empty "
+                                 "embeddings frame")
+            props = {self.PROP_KEY: json.dumps(C.tolist()),
+                     self.FIT_KEY: repr(float(fit))}
+            if self.table.exists():
+                return self.table.overwrite(spark, rows, props=props)
+            return self.table.merge_upsert(spark, rows, props=props)
+        finally:
+            rows.unpersist()
 
     def add(self, spark: SparkSession, new_vectors: DataFrame,
             id_col: str = "vec_id", vec_col: str = "embedding") -> dict:

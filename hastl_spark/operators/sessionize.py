@@ -43,10 +43,16 @@ def sessionize(events: DataFrame, gap_s: int = 1800, ts_col: str = "ts",
     if isinstance(tiebreak_cols, str):
         tiebreak_cols = [tiebreak_cols]
     w = _session_window(key_cols, ts_col, list(tiebreak_cols))
-    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w))
+    # microsecond-exact gap (unix_timestamp TRUNCATES sub-second parts and
+    # merges sessions whose true gap straddles gap_s — the round-4
+    # truncation bug class; counter.py/state.py use the same discipline,
+    # and the DuckDB oracle's epoch() is fractional already)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = us - F.lag(us).over(w)
     flagged = events.withColumn(
         "is_session_start",
-        F.when(gap.isNull() | (gap > gap_s), F.lit(1)).otherwise(F.lit(0)))
+        F.when(gap.isNull() | (gap > gap_s * 1_000_000),
+               F.lit(1)).otherwise(F.lit(0)))
     # running sum over the SAME window spec -> single Window operator
     return flagged.withColumn(
         "session_id", F.sum("is_session_start").over(w).cast("bigint"))
@@ -62,11 +68,12 @@ def session_stats(events: DataFrame, gap_s: int = 1800, ts_col: str = "ts",
         key_cols = [key_cols]
     tagged = sessionize(events, gap_s=gap_s, ts_col=ts_col,
                         key_cols=key_cols, tiebreak_cols=tiebreak_cols)
+    span_us = (F.unix_micros(F.max(ts_col).cast("timestamp"))
+               - F.unix_micros(F.min(ts_col).cast("timestamp")))
     aggs = [
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
-        (F.unix_timestamp(F.max(ts_col))
-         - F.unix_timestamp(F.min(ts_col))).alias("duration_s"),
+        (span_us / F.lit(1_000_000.0)).alias("duration_s"),  # µs-exact
         F.count(F.lit(1)).alias("n_events"),
     ]
     if value_col is not None:

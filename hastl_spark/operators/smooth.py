@@ -31,14 +31,22 @@ def ewma(df: DataFrame, alpha: float, window: int, key_col: str,
         raise ValueError("window must be >= 1")
     w = (Window.partitionBy(key_col).orderBy(order_col)
          .rowsBetween(-(window - 1), Window.currentRow))
+    # collect_list DROPS nulls — the defined semantic is "EWMA over the
+    # non-null trailing values" (the DuckDB twin list_filters to match;
+    # array_agg would otherwise keep NULLs and poison the fold)
     vals = F.collect_list(F.col(value_col).cast("double")).over(w)
     # repr(alpha) round-trips the exact double, so both engines fold with
     # the identical constant
     fold = (f"aggregate(slice(_vals, 2, greatest(size(_vals) - 1, 0)), "
             f"element_at(_vals, 1), "
             f"(acc, x) -> acc + CAST({alpha!r} AS DOUBLE) * (x - acc))")
+    # an all-null frame folds over an empty array: element_at(.., 1) would
+    # raise under ANSI mode — return NULL instead, same as the twin's CASE
     return (df.withColumn("_vals", vals)
-            .withColumn(out_col, F.round(F.expr(fold), 6))
+            .withColumn(out_col,
+                        F.when(F.size("_vals") == 0,
+                               F.lit(None).cast("double"))
+                        .otherwise(F.round(F.expr(fold), 6)))
             .drop("_vals"))
 
 
@@ -47,10 +55,12 @@ def ewma_oracle_sql(alpha: float, window: int, key_col: str, order_col: str,
     """DuckDB twin of the fold expression (same frame, same seed, same fold
     order — bit-identical before the shared 6-decimal round). Returns the
     SELECT-list fragment computing ``out_col``; embed over the same input."""
+    frame = (f"list_filter(array_agg(CAST({value_col} AS DOUBLE)) OVER ("
+             f"PARTITION BY {key_col} ORDER BY {order_col} "
+             f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW), "
+             f"x -> x IS NOT NULL)")
     return (
-        f"round(list_reduce("
-        f"array_agg(CAST({value_col} AS DOUBLE)) OVER ("
-        f"PARTITION BY {key_col} ORDER BY {order_col} "
-        f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW), "
+        f"CASE WHEN len({frame}) = 0 THEN NULL ELSE "
+        f"round(list_reduce({frame}, "
         f"(acc, x) -> acc + CAST({alpha!r} AS DOUBLE) * (x - acc)), 6) "
-        f"AS {out_col}")
+        f"END AS {out_col}")

@@ -238,6 +238,19 @@ def rolling_fingerprint(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _word_ngrams(text_col: str, n: int):
+    """Per-row word n-gram array as a pure Catalyst expression (slice +
+    concat_ws — the fastest of three shapes A/B'd at r5, see
+    repetition_ratio). Shared by repetition_ratio and vocab_topk so the
+    tokenization can never silently diverge between them."""
+    words = F.split(F.col(text_col), " ", -1)
+    return F.when(
+        F.size(words) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def repetition_ratio(docs: DataFrame, n: int = 3, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Intra-document repetition (Gopher-style quality rule): the fraction
@@ -253,12 +266,7 @@ def repetition_ratio(docs: DataFrame, n: int = 3, text_col: str = "text",
     ordering), per-element ``element_at`` concat 2.2x slower than the
     slice+concat_ws below; the bench number is single-task at toy scale
     (one parquet file) and parallelizes linearly at corpus scale."""
-    words = F.split(F.col(text_col), " ", -1)
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(words, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _word_ngrams(text_col, n)
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
     return docs.select(
@@ -310,12 +318,7 @@ def vocab_topk(docs: DataFrame, k: int = 50, n: int = 2,
     hash-agg on the gram -> TakeOrdered(k) (orderBy+limit compiles to a
     per-partition top-k + driver merge of k*partitions rows — never a full
     sort of the gram census)."""
-    words = F.split(F.col(text_col), " ", -1)
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(words, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _word_ngrams(text_col, n)
     return (docs.select(F.explode(grams).alias("gram"))
             .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("gram"))
@@ -375,7 +378,9 @@ def token_rarity(docs: DataFrame, text_col: str = "text",
              .filter(F.col("term") != ""))
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
-    total = cf.agg(F.sum("cf")).collect()[0][0]  # bounded scalar
+    # bounded scalar; None when no doc has a non-empty token — any non-zero
+    # divisor works then (per_doc is empty), so the plan stays valid
+    total = cf.agg(F.sum("cf")).collect()[0][0] or 1
     per_doc = (tf.join(cf, "term")
                .groupBy(id_col)
                .agg(F.sum("tf").alias("n_tokens"),

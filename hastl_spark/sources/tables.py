@@ -429,6 +429,7 @@ class KeyedTable:
 
         record = {
             "snapshot": snap,
+            "op": "merge_upsert",
             "partitions": sorted(part_dirs),
             "rows_in": rows,
             "wall_s": round(time.time() - t0, 3),
@@ -559,6 +560,15 @@ class KeyedTable:
             raise ValueError(
                 f"snapshot {snapshot} of {self.path} has no partition map —"
                 " cannot roll back to it")
+        # refuse a rollback whose data dirs were vacuumed: publishing a
+        # manifest that names deleted dirs would wedge every later read
+        # (review finding — read_snapshot had this guard, rollback did not)
+        missing = [rel for rel in pm.values()
+                   if not os.path.isdir(os.path.join(self.path, rel))]
+        if missing:
+            raise ValueError(
+                f"snapshot {snapshot} of {self.path} was vacuumed "
+                f"(missing dirs: {missing[:3]}...) — cannot roll back")
         man = self._load()
         snap = man["snapshot"] + 1
         man["partitions"] = dict(pm)

@@ -40,6 +40,20 @@ def test_session_ids_and_boundaries(spark):
     assert got[9] == (2, 1)          # 30m01s > gap_s
 
 
+def test_subsecond_gap_is_exact(spark):
+    """unix_timestamp truncation would merge these: true gap 1800.8s >
+    1800s must start a new session (microsecond-exact discipline)."""
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0, 100000)
+    rows = [("u", t0, 1),
+            ("u", t0 + dt.timedelta(seconds=1800, microseconds=800000), 2)]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long")
+    got = {r.event_id: r.session_id
+           for r in sessionize(ev, gap_s=1800,
+                               tiebreak_cols="event_id").collect()}
+    assert got == {1: 1, 2: 2}
+
+
 def test_session_stats(spark):
     stats = {(r.user_id, r.session_id): (r.duration_s, r.n_events)
              for r in session_stats(_events(spark), gap_s=1800,

@@ -407,6 +407,15 @@ def q_fingerprints_portable(spark, sf_dir):
     return fingerprint_portable_np(_docs(spark, sf_dir))
 
 
+def q_value_stats(spark, sf_dir):
+    """Moment statistics per event_type (TimescaleDB stats_agg twin):
+    power-sum formulation so Spark and DuckDB evaluate ONE formula —
+    their built-in skewness/kurtosis disagree on bias correction."""
+    from hastl_spark.operators.stats import stats_agg
+
+    return stats_agg(_events(spark, sf_dir), ["event_type"], "value")
+
+
 def q_docs_rarity(spark, sf_dir):
     """Per-doc mean corpus token frequency (unigram rarity quality signal).
     Integer sums + one final double division -> cross-engine bit-identical
@@ -930,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "corpus_prep": q_corpus_prep,
         "docs_rarity": q_docs_rarity,
+        "value_stats": q_value_stats,
         "pack_assignments": q_pack_assignments,
         "packs_summary": q_packs_summary,
         "pack_tokens": q_pack_tokens,
@@ -1365,6 +1375,10 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hits, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN h USING (doc_id)
         """,
+        "value_stats": __import__(
+            "hastl_spark.operators.stats",
+            fromlist=["stats_agg_oracle_sql"]
+        ).stats_agg_oracle_sql("events", ["event_type"], "value"),
         # integer tf/cf sums; ONE double division at the end (bit-identical
         # cross-engine; an ln-based logprob would not be)
         "docs_rarity": """

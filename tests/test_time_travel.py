@@ -74,6 +74,17 @@ def test_vacuum_expires_time_travel_but_not_current(spark, table):
         t.read_snapshot(spark, 1)
 
 
+def test_rollback_refuses_vacuumed_snapshot(spark, table):
+    t = table
+    t.merge_upsert(spark, _df(spark, [("a", 1, 10)]))
+    t.overwrite(spark, _df(spark, [("a", 1, 99)]))
+    t.vacuum()  # snapshot-1 dirs are gone
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.rollback(1)
+    # table not wedged: current content still reads
+    assert _content(t.read(spark)) == {("a", 1, 99)}
+
+
 def test_rollback_then_vacuum_keeps_rolled_back_data(spark, table):
     t = table
     t.merge_upsert(spark, _df(spark, [("a", 1, 10)]))

@@ -515,6 +515,55 @@ class KeyedTable:
         self._publish(man)
         return record
 
+    def delete_where(self, spark: SparkSession, condition) -> dict:
+        """Row-level DELETE (Iceberg copy-on-write DML parity): remove rows
+        where ``condition`` evaluates TRUE, rewriting ONLY the partitions
+        that contain matching rows. Partitions left empty are dropped
+        metadata-only; untouched partitions' files are never read or
+        written. The training-corpus use case is takedown / right-to-be-
+        forgotten deletes, where a full-table rewrite at 100 TB is not an
+        option.
+
+        ``condition``: SQL string or Column. SQL DELETE semantics: a row
+        is removed iff the predicate is TRUE (NULL keeps the row).
+
+        Publishes up to two snapshots (drop of emptied partitions, then
+        the rewrite) — each individually consistent and time-travelable.
+        Returns ``{"op": "delete_where", "rows_deleted", "rewritten",
+        "dropped", "snapshot"}``."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        df = self._with_part(self.read(spark))
+        pc = self.partition_col
+
+        from pyspark import StorageLevel
+
+        # one scan job resolves both the touched partitions and, per
+        # partition, whether any row survives — no second full pass
+        stats = (df.groupBy(pc).agg(
+            F.sum(F.when(cond, 1).otherwise(0)).alias("_del"),
+            F.sum(F.when(cond, 0).otherwise(1)).alias("_keep"))
+            .filter(F.col("_del") > 0).collect())
+        rows_deleted = int(sum(r["_del"] for r in stats))
+        if not stats:
+            return {"op": "delete_where", "rows_deleted": 0,
+                    "rewritten": [], "dropped": [],
+                    "snapshot": self.snapshot()}
+        emptied = sorted(str(r[pc]) for r in stats if r["_keep"] == 0)
+        rewrite = sorted(str(r[pc]) for r in stats if r["_keep"] > 0)
+        if emptied:
+            self.drop_partitions(emptied)
+        if rewrite:
+            scoped = self._with_part(self.read_partitions(spark, rewrite))
+            kept = scoped.filter(~cond | cond.isNull()).persist(
+                StorageLevel.MEMORY_AND_DISK)
+            try:
+                self.merge_upsert(spark, kept, replace_partitions=True)
+            finally:
+                kept.unpersist()
+        return {"op": "delete_where", "rows_deleted": rows_deleted,
+                "rewritten": rewrite, "dropped": emptied,
+                "snapshot": self.snapshot()}
+
     # ---- time travel (Iceberg snapshot-read / rollback parity) ----
     def snapshots(self) -> list[dict]:
         """Snapshot history: (snapshot, op, partitions touched, rows_in,

@@ -117,6 +117,49 @@ class KeyedTable:
                 "KeyedTable with the recorded spec")
         return man
 
+    # ---- schema evolution (Iceberg add-column parity) ----
+    def _check_types(self, man: dict, schema) -> None:
+        """Fail fast (pre-write) when an update renames a column's TYPE:
+        added columns are fine (old files read them as NULL), same-name
+        type changes are not (the named-schema parquet scan would
+        misdecode old files)."""
+        if "schema" not in man:
+            return
+        from pyspark.sql.types import StructType
+
+        cur = {f.name: f.dataType
+               for f in StructType.fromJson(json.loads(man["schema"])).fields}
+        for f in schema.fields:
+            name = "_pk" if f.name == self.partition_col else f.name
+            if name in cur and cur[name] != f.dataType:
+                raise ValueError(
+                    f"schema evolution type conflict at {self.path}: column "
+                    f"{f.name!r} is {cur[name].simpleString()} in the table "
+                    f"but {f.dataType.simpleString()} in the update — adding "
+                    "columns is supported, changing a column's type is not")
+
+    def _evolve_schema(self, man: dict, written_schema) -> None:
+        """Record (first write) or EXTEND (added columns) the manifest file
+        schema; pc travels as _pk, kept last. Older files lack added
+        columns and read them as NULL through the named-schema scan."""
+        from pyspark.sql.types import StructField, StructType
+
+        pc = self.partition_col
+        pcf = next(f for f in written_schema.fields if f.name == pc)
+        new_fields = [f for f in written_schema.fields if f.name != pc]
+        if "schema" not in man:
+            fields = new_fields + [StructField("_pk", pcf.dataType, True)]
+            man["schema"] = json.dumps(StructType(fields).jsonValue())
+            return
+        cur = StructType.fromJson(json.loads(man["schema"]))
+        have = {f.name for f in cur.fields}
+        added = [StructField(f.name, f.dataType, True)
+                 for f in new_fields if f.name not in have]
+        if added:
+            fields = ([f for f in cur.fields if f.name != "_pk"] + added
+                      + [f for f in cur.fields if f.name == "_pk"])
+            man["schema"] = json.dumps(StructType(fields).jsonValue())
+
     def _with_part(self, df: DataFrame) -> DataFrame:
         """Ensure the (possibly synthetic) partition column exists on df."""
         if self.part_spec and self.partition_col not in df.columns:
@@ -144,7 +187,8 @@ class KeyedTable:
         return self._load()["watermarks"].get(partition)
 
     # ---- read ----
-    def _read_dirs(self, spark: SparkSession, rels) -> DataFrame:
+    def _read_dirs(self, spark: SparkSession, rels,
+                   with_schema: bool = True) -> DataFrame:
         """One multi-path scan over the visible partition leaf dirs (a single
         file listing + plan instead of one read call per partition). The
         partition column travels INSIDE the files as ``_pk`` — partition
@@ -154,7 +198,7 @@ class KeyedTable:
         driver skips footer-read schema inference on every open."""
         paths = [os.path.abspath(os.path.join(self.path, rel)) for rel in rels]
         reader = spark.read
-        schema_json = self._load().get("schema")
+        schema_json = self._load().get("schema") if with_schema else None
         if schema_json:
             from pyspark.sql.types import StructType
 
@@ -323,6 +367,7 @@ class KeyedTable:
         snap = man["snapshot"] + 1
         pc = self.partition_col
         updates = self._with_part(updates)
+        self._check_types(man, updates.schema)  # evolution: add yes, retype no
 
         from pyspark import StorageLevel
 
@@ -361,13 +406,21 @@ class KeyedTable:
 
             existing = [p for p in part_dirs if p in man["partitions"]]
             if existing and not replace_partitions:
+                # the staged dirs carry the UPDATE's schema, which may have
+                # evolved beyond the manifest's — read them with inference,
+                # not the (older) manifest schema, or added columns vanish
                 staged = self._read_dirs(
                     spark,
-                    [os.path.join(rel_stage, d) for d in part_dirs.values()])
+                    [os.path.join(rel_stage, d) for d in part_dirs.values()],
+                    with_schema=False)
                 cur = self._read_dirs(spark, [man["partitions"][p] for p in existing])
                 keep = cur.join(staged.select(*self.key_cols).distinct(),
                                 on=self.key_cols, how="left_anti")
-                merged = (keep.unionByName(staged.select(*keep.columns))
+                # allowMissingColumns = schema evolution: updates may ADD
+                # columns (existing rows read as NULL) and need not repeat
+                # columns they don't change the shape of — the old
+                # select(*keep.columns) SILENTLY DROPPED added columns
+                merged = (keep.unionByName(staged, allowMissingColumns=True)
                           .persist(StorageLevel.MEMORY_AND_DISK))
                 (merged.withColumn("_pk", F.col(pc))
                  .repartition(F.col(pc))
@@ -417,15 +470,7 @@ class KeyedTable:
                 prev = man["watermarks"].get(pval)
                 man["watermarks"][pval] = max(wm, prev) if prev is not None else wm
 
-        if "schema" not in man:
-            # record the FILE schema (pc travels as _pk) so future reads
-            # skip footer-based schema inference
-            from pyspark.sql.types import StructField, StructType
-
-            pcf = next(f for f in updates.schema.fields if f.name == pc)
-            fields = ([f for f in updates.schema.fields if f.name != pc]
-                      + [StructField("_pk", pcf.dataType, True)])
-            man["schema"] = json.dumps(StructType(fields).jsonValue())
+        self._evolve_schema(man, stats_src.schema)
 
         record = {
             "snapshot": snap,
@@ -509,6 +554,12 @@ class KeyedTable:
             man["part_spec"] = self.part_spec
         if props:
             man.setdefault("props", {}).update(props)
+        # overwrite supersedes every data file, so the file schema RESETS
+        # to the new frame's (merge evolves the schema; a stale schema here
+        # would hide columns added — or keep columns dropped — by the
+        # overwrite)
+        man.pop("schema", None)
+        self._evolve_schema(man, df.schema)
         record["partition_map"] = dict(man["partitions"])
         record["watermark_map"] = dict(man["watermarks"])
         man["lineage"].append(record)

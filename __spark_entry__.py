@@ -983,6 +983,8 @@ _STOP_SQL = " + ".join(
 
 
 def oracle_sql() -> dict[str, str]:
+    from hastl_spark.operators.stats import stats_agg_oracle_sql
+
     d = {
         "rollup_1m": """
             SELECT event_type, date_trunc('minute', ts) AS bucket,
@@ -1375,10 +1377,8 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hits, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN h USING (doc_id)
         """,
-        "value_stats": __import__(
-            "hastl_spark.operators.stats",
-            fromlist=["stats_agg_oracle_sql"]
-        ).stats_agg_oracle_sql("events", ["event_type"], "value"),
+        "value_stats": stats_agg_oracle_sql("events", ["event_type"],
+                                            "value"),
         # integer tf/cf sums; ONE double division at the end (bit-identical
         # cross-engine; an ln-based logprob would not be)
         "docs_rarity": """

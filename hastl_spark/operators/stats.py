@@ -21,6 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# below this central-moment magnitude the group is numerically constant:
+# m2 is float-cancellation noise and per-engine noise differs, so skewness
+# and kurtosis are reported NULL (shared with the SQL twin)
+_M2_EPS = 1e-12
+
 
 def stats_agg(df: DataFrame, key_cols: list[str], value_col: str,
               ddof: int = 1) -> DataFrame:
@@ -48,11 +53,16 @@ def stats_agg(df: DataFrame, key_cols: list[str], value_col: str,
           + 2 * mean * mean * mean)
     m4 = (F.col("s4") / n - 4 * mean * F.col("s3") / n
           + 6 * mean * mean * F.col("s2") / n - 3 * mean * mean * mean * mean)
-    var = F.when(n > ddof, (F.col("s2") - n * mean * mean) / (n - ddof))
+    # clamp at 0: s2 - n*mean^2 lands at ~-1e-18 for constant groups
+    # (float cancellation), which would be NaN here and a hard sqrt error
+    # in DuckDB; and gate skew/kurt on m2 > 1e-12 — near the cancellation
+    # floor the moments are pure noise and the two engines' noise differs
+    var = F.when(n > ddof, F.greatest(
+        (F.col("s2") - n * mean * mean) / (n - ddof), F.lit(0.0)))
     std = F.sqrt(var)
-    skew = F.when((n > 0) & (m2 > 0), m3 / F.pow(m2, 1.5))
-    kurt = F.when((n > 0) & (m2 > 0), m4 / (m2 * m2) - 3)
-    return agg.select(
+    skew = F.when((n > 0) & (m2 > _M2_EPS), m3 / F.pow(m2, 1.5))
+    kurt = F.when((n > 0) & (m2 > _M2_EPS), m4 / (m2 * m2) - 3)
+    return agg.filter(F.col("n") > 0).select(
         *key_cols,
         F.col("n"),
         F.round(mean, 4).alias("mean"),
@@ -82,15 +92,17 @@ def stats_agg_oracle_sql(table: str, key_cols: list[str], value_col: str,
         SELECT {keys}, n,
                round(s1 / n, 4) AS mean,
                round(CASE WHEN n > {ddof}
-                     THEN sqrt((s2 - n * (s1/n) * (s1/n)) / (n - {ddof}))
+                     THEN sqrt(greatest(
+                          (s2 - n * (s1/n) * (s1/n)) / (n - {ddof}), 0.0))
                      END, 4) AS stddev,
-               round(CASE WHEN n > 0 AND (s2/n - (s1/n)*(s1/n)) > 0 THEN
-                 (s3/n - 3*(s1/n)*s2/n + 2*(s1/n)*(s1/n)*(s1/n))
+               round(CASE WHEN n > 0 AND (s2/n - (s1/n)*(s1/n)) > {_M2_EPS!r}
+                 THEN (s3/n - 3*(s1/n)*s2/n + 2*(s1/n)*(s1/n)*(s1/n))
                  / pow(s2/n - (s1/n)*(s1/n), 1.5) END, 4) AS skewness,
-               round(CASE WHEN n > 0 AND (s2/n - (s1/n)*(s1/n)) > 0 THEN
-                 (s4/n - 4*(s1/n)*s3/n + 6*(s1/n)*(s1/n)*s2/n
+               round(CASE WHEN n > 0 AND (s2/n - (s1/n)*(s1/n)) > {_M2_EPS!r}
+                 THEN (s4/n - 4*(s1/n)*s3/n + 6*(s1/n)*(s1/n)*s2/n
                   - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
                  / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3
                  END, 4) AS kurtosis_ex
         FROM p
+        WHERE n > 0
     """

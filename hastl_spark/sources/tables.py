@@ -188,7 +188,8 @@ class KeyedTable:
 
     # ---- read ----
     def _read_dirs(self, spark: SparkSession, rels,
-                   with_schema: bool = True) -> DataFrame:
+                   with_schema: bool = True,
+                   schema_json: str | None = None) -> DataFrame:
         """One multi-path scan over the visible partition leaf dirs (a single
         file listing + plan instead of one read call per partition). The
         partition column travels INSIDE the files as ``_pk`` — partition
@@ -198,7 +199,8 @@ class KeyedTable:
         driver skips footer-read schema inference on every open."""
         paths = [os.path.abspath(os.path.join(self.path, rel)) for rel in rels]
         reader = spark.read
-        schema_json = self._load().get("schema") if with_schema else None
+        if schema_json is None and with_schema:
+            schema_json = self._load().get("schema")
         if schema_json:
             from pyspark.sql.types import StructType
 
@@ -236,7 +238,7 @@ class KeyedTable:
             df = df.drop(self.partition_col)
         return df
 
-    def drop_partitions(self, pvals) -> dict:
+    def drop_partitions(self, pvals, extra_record: dict | None = None) -> dict:
         """Metadata-only partition drop: a new snapshot whose manifest no
         longer names the given partitions — no data files are read or
         written (vacuum reclaims snapshot dirs once nothing references
@@ -249,6 +251,11 @@ class KeyedTable:
         for p in dropped:
             del man["partitions"][p]
             man["watermarks"].pop(p, None)
+        if not man["partitions"]:
+            # a fully-emptied table sheds its file schema: keeping a dead
+            # generation's schema would reject legitimate retypes and
+            # resurrect ghost columns on the next write (review finding)
+            man.pop("schema", None)
         record = {
             "snapshot": snap,
             "op": "drop_partitions",
@@ -257,12 +264,15 @@ class KeyedTable:
             "wall_s": round(time.time() - t0, 3),
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        if extra_record:
+            record.update(extra_record)
         man["snapshot"] = snap
         man["partition_col"] = self.partition_col
         if self.part_spec:
             man["part_spec"] = self.part_spec
         record["partition_map"] = dict(man["partitions"])
         record["watermark_map"] = dict(man["watermarks"])
+        record["schema"] = man.get("schema")
         man["lineage"].append(record)
         self._publish(man)
         return record
@@ -344,7 +354,8 @@ class KeyedTable:
                      watermark_col: str | None = None,
                      replace_partitions: bool = False,
                      keep_data: bool = False,
-                     props: dict | None = None) -> dict:
+                     props: dict | None = None,
+                     extra_record: dict | None = None) -> dict:
         """Upsert ``updates`` by key; only partitions present in the update
         set are rewritten. Returns the lineage record.
 
@@ -468,7 +479,13 @@ class KeyedTable:
             if watermark_col is not None:
                 wm = _wm_json(stats[pval]["_wm"])
                 prev = man["watermarks"].get(pval)
-                man["watermarks"][pval] = max(wm, prev) if prev is not None else wm
+                # replace_partitions supersedes the partition's CONTENT, so
+                # its watermark is the new content's max, not max-with-old:
+                # a takedown that removes the highest-ts rows must LOWER the
+                # watermark or incremental consumers skip the re-merge range
+                man["watermarks"][pval] = (
+                    wm if replace_partitions or prev is None
+                    else max(wm, prev))
 
         self._evolve_schema(man, stats_src.schema)
 
@@ -480,14 +497,19 @@ class KeyedTable:
             "wall_s": round(time.time() - t0, 3),
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        if extra_record:
+            record.update(extra_record)
         man["snapshot"] = snap
         man["partition_col"] = pc
         if self.part_spec:
             man["part_spec"] = self.part_spec
+        if watermark_col is not None:
+            man["watermark_col"] = watermark_col
         if props:
             man.setdefault("props", {}).update(props)
         record["partition_map"] = dict(man["partitions"])
         record["watermark_map"] = dict(man["watermarks"])
+        record["schema"] = man.get("schema")
         man["lineage"].append(record)
         self._publish(man)
         if keep_data:
@@ -559,9 +581,13 @@ class KeyedTable:
         # would hide columns added — or keep columns dropped — by the
         # overwrite)
         man.pop("schema", None)
-        self._evolve_schema(man, df.schema)
+        if part_dirs:
+            self._evolve_schema(man, df.schema)
+        if watermark_col is not None:
+            man["watermark_col"] = watermark_col
         record["partition_map"] = dict(man["partitions"])
         record["watermark_map"] = dict(man["watermarks"])
+        record["schema"] = man.get("schema")
         man["lineage"].append(record)
         self._publish(man)
         return record
@@ -582,6 +608,12 @@ class KeyedTable:
         the rewrite) — each individually consistent and time-travelable.
         Returns ``{"op": "delete_where", "rows_deleted", "rewritten",
         "dropped", "snapshot"}``."""
+        if not self.exists():
+            # a takedown sweep over a fleet of tables must not abort on
+            # an already-empty one (review finding)
+            return {"op": "delete_where", "rows_deleted": 0,
+                    "rewritten": [], "dropped": [],
+                    "snapshot": self.snapshot()}
         cond = F.expr(condition) if isinstance(condition, str) else condition
         df = self._with_part(self.read(spark))
         pc = self.partition_col
@@ -601,14 +633,23 @@ class KeyedTable:
                     "snapshot": self.snapshot()}
         emptied = sorted(str(r[pc]) for r in stats if r["_keep"] == 0)
         rewrite = sorted(str(r[pc]) for r in stats if r["_keep"] > 0)
+        audit = {"op": "delete_where", "rows_deleted": rows_deleted,
+                 "delete_dropped": emptied, "delete_rewritten": rewrite}
         if emptied:
-            self.drop_partitions(emptied)
+            self.drop_partitions(emptied, extra_record=audit)
         if rewrite:
             scoped = self._with_part(self.read_partitions(spark, rewrite))
             kept = scoped.filter(~cond | cond.isNull()).persist(
                 StorageLevel.MEMORY_AND_DISK)
             try:
-                self.merge_upsert(spark, kept, replace_partitions=True)
+                # replace_partitions RECOMPUTES the rewritten partitions'
+                # watermarks from the kept rows (the table's recorded
+                # watermark column) — deleting the max-ts rows must lower
+                # the watermark or incremental consumers skip the re-merge
+                self.merge_upsert(
+                    spark, kept, replace_partitions=True,
+                    watermark_col=self._load().get("watermark_col"),
+                    extra_record=audit)
             finally:
                 kept.unpersist()
         return {"op": "delete_where", "rows_deleted": rows_deleted,
@@ -620,8 +661,9 @@ class KeyedTable:
         """Snapshot history: (snapshot, op, partitions touched, rows_in,
         ts) per committed change — the Iceberg `.snapshots` metadata
         surface."""
-        return [{k: r.get(k) for k in
-                 ("snapshot", "op", "partitions", "rows_in", "ts")}
+        keys = ("snapshot", "op", "partitions", "rows_in", "ts",
+                "rows_deleted", "rolled_back_to")
+        return [{k: r[k] for k in keys if k in r}
                 for r in self._load()["lineage"]]
 
     def read_snapshot(self, spark: SparkSession, snapshot: int) -> DataFrame:
@@ -645,7 +687,12 @@ class KeyedTable:
             raise ValueError(
                 f"snapshot {snapshot} of {self.path} was vacuumed "
                 f"(missing dirs: {missing[:3]}...) — cannot time-travel")
-        df = self._read_dirs(spark, pm.values())
+        # read through the schema AS OF that snapshot (records carry it):
+        # the current schema may have evolved or been reset by a later
+        # overwrite, and old files misdecode under a retyped named schema
+        df = self._read_dirs(spark, pm.values(),
+                             schema_json=rec.get("schema"),
+                             with_schema="schema" not in rec)
         if self.part_spec:
             df = df.drop(self.partition_col)
         return df
@@ -676,6 +723,11 @@ class KeyedTable:
         man["watermarks"] = (dict(wm) if wm is not None else
                              {p: w for p, w in man["watermarks"].items()
                               if p in pm})
+        # restore the file schema as of the rolled-back-to snapshot: a
+        # later overwrite may have RESET it (retype), and reading the old
+        # files through the newer schema misdecodes (review finding)
+        if rec.get("schema") is not None:
+            man["schema"] = rec["schema"]
         record = {
             "snapshot": snap,
             "op": "rollback",
@@ -686,6 +738,7 @@ class KeyedTable:
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "partition_map": dict(pm),
             "watermark_map": dict(man["watermarks"]),
+            "schema": man.get("schema"),
         }
         man["snapshot"] = snap
         man["lineage"].append(record)

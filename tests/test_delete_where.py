@@ -82,3 +82,28 @@ def test_delete_on_day_partitioned_table(spark, tmp_path):
     assert rec["rows_deleted"] == 1
     assert rec["dropped"] == ["a~2026-01-01"]  # that day held only v=1
     assert t.read(spark).count() == 2
+
+
+def test_delete_lowers_watermark_on_rewrite(spark, tmp_path):
+    """Deleting the rows that carried a partition's max watermark must
+    LOWER it, or incremental consumers skip the corrected re-merge."""
+    t = KeyedTable(str(tmp_path / "t"), ["source", "bucket"])
+    t.merge_upsert(spark, _df(spark, [("a", 1, 10), ("a", 9, 90)]),
+                   watermark_col="bucket")
+    assert t.watermark("a") == 9
+    t.delete_where(spark, "bucket = 9")
+    assert t.watermark("a") == 1
+
+
+def test_delete_is_audited_in_snapshot_history(spark, tmp_path):
+    t = KeyedTable(str(tmp_path / "t"), ["source", "bucket"])
+    t.merge_upsert(spark, _df(spark, [("a", 1, 10), ("b", 1, 30)]))
+    t.delete_where(spark, "source = 'b' OR bucket = 99")
+    ops = [(s["op"], s.get("rows_deleted")) for s in t.snapshots()]
+    assert ("delete_where", 1) in ops
+
+
+def test_delete_on_empty_table_is_noop(spark, tmp_path):
+    t = KeyedTable(str(tmp_path / "t"), ["source", "bucket"])
+    rec = t.delete_where(spark, "v = 1")
+    assert rec["rows_deleted"] == 0 and rec["dropped"] == []

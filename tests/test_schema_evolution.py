@@ -51,3 +51,16 @@ def test_overwrite_resets_schema(spark, tmp_path):
     df = t.read(spark)
     assert "extra" not in df.columns
     assert [(r.source, r.bucket, r.v) for r in df.collect()] == [("a", 1, 99)]
+
+
+def test_emptied_table_sheds_schema(spark, tmp_path):
+    """Dropping every partition clears the file schema, so a fresh write
+    may legitimately retype (no ghost columns, no dead-generation
+    conflicts)."""
+    t = KeyedTable(str(tmp_path / "t"), ["source", "bucket"])
+    t.merge_upsert(spark, spark.createDataFrame(
+        [("a", 1, 10)], "source string, bucket int, v long"))
+    t.drop_partitions(["a"])
+    t.merge_upsert(spark, spark.createDataFrame(
+        [("a", 1, "now-a-string")], "source string, bucket int, v string"))
+    assert [r.v for r in t.read(spark).collect()] == ["now-a-string"]

@@ -46,3 +46,21 @@ def test_null_and_nan_excluded(spark):
     df = spark.createDataFrame(rows, "grp string, value double")
     r = stats_agg(df, ["grp"], "value").collect()[0]
     assert r.n == 2 and r.mean == 2.0
+
+
+def test_float_cancellation_constant_group(spark):
+    """[0.1, 0.1, 0.1]: s2 - n*mean^2 is ~-3.5e-18 — without the clamp
+    stddev is NaN in Spark and a hard sqrt error in DuckDB."""
+    df = spark.createDataFrame([("a", 0.1)] * 3, "grp string, value double")
+    r = stats_agg(df, ["grp"], "value").collect()[0]
+    assert r.stddev == 0.0
+    assert r.skewness is None and r.kurtosis_ex is None  # m2 below eps
+
+
+def test_all_null_group_is_absent(spark):
+    """Matches the SQL twin's WHERE semantics: a group whose every value
+    is NULL/NaN produces NO output row (not an n=0 row)."""
+    rows = [("a", 1.0), ("b", None), ("b", float("nan"))]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = {r.grp for r in stats_agg(df, ["grp"], "value").collect()}
+    assert got == {"a"}

@@ -92,3 +92,21 @@ def test_rollback_then_vacuum_keeps_rolled_back_data(spark, table):
     t.rollback(1)
     t.vacuum()  # snapshot-2 dirs unreferenced now; snapshot-1 dirs live
     assert _content(t.read(spark)) == {("a", 1, 10)}
+
+
+def test_time_travel_survives_overwrite_retype(spark, table):
+    """A later overwrite may RESET the schema (retype); snapshot reads and
+    rollback must use the schema as of the target snapshot, or the old
+    parquet files misdecode under the newer named schema."""
+    t = table
+    t.merge_upsert(spark, _df(spark, [("a", 1, 10)]))            # v: long
+    t.overwrite(spark, spark.createDataFrame(
+        [("a", 1, "ninety-nine")], "source string, bucket int, v string"))
+    got = {(r.source, r.bucket, r.v) for r in
+           t.read_snapshot(spark, 1).collect()}
+    assert got == {("a", 1, 10)}
+    t.rollback(1)
+    assert _content(t.read(spark)) == {("a", 1, 10)}
+    # and the restored schema accepts further long-typed merges
+    t.merge_upsert(spark, _df(spark, [("a", 2, 20)]))
+    assert _content(t.read(spark)) == {("a", 1, 10), ("a", 2, 20)}

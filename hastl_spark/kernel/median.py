@@ -26,9 +26,10 @@ def median_l(arr_l: np.ndarray, n_nn_l: np.ndarray) -> np.ndarray:
     k = n_nn // 2  # median.fut:103
     brow = np.arange(B, dtype=np.int64)
     med = srt[brow, k]  # k-th smallest == rankSearchBatch result
-    # nlt = #(strictly < med); c = largest value strictly < med (median.fut:115-130)
-    nlt = np.array([np.searchsorted(srt[i], med[i], side="left") for i in range(B)],
-                   dtype=np.int64)
+    # nlt = #(strictly < med); c = largest value strictly < med
+    # (median.fut:115-130). srt is sorted, so the side='left' search equals
+    # a vectorized strictly-less count — no per-row Python searchsorted
+    nlt = (srt < med[:, None]).sum(axis=1).astype(np.int64)
     c = srt[brow, np.maximum(nlt - 1, 0)]
     even_avg = c + (med - c) / 2  # median.fut:134
     keep = (k == 0) | (n_nn % 2 == 1) | (nlt < k)  # median.fut:132-133

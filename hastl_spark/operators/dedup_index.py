@@ -131,6 +131,14 @@ class MinHashIndex:
         if self.table.exists():
             idx = self.table.read(spark).join(touched, ["band", "bh"],
                                               "left_semi")
+            # exclude the INDEX's copy of any doc_id present in the new
+            # batch: re-ingestion (and a foreachBatch replay after the
+            # merge committed) must not pair a doc with its own stale
+            # indexed copy, and must not double-count it in the bucket-cap
+            # window — this keeps a replayed batch's pairs IDENTICAL to
+            # the first attempt's (review finding)
+            idx = idx.join(new_rows.select("doc_id").distinct(), "doc_id",
+                           "left_anti")
             sides.append(idx.select(*new_rows.columns[:-1],
                                     F.lit(0).alias("_new")))
         u = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])

@@ -37,8 +37,12 @@ def main(argv=None):
 
     spark = get_spark(args.cpus, app_name="packing-job")
     seqs = spark.read.parquet(args.sequences_path)
+    # full seq suffix, NOT substring(-10): a fixed-width slice silently
+    # truncates seqs past 10 digits (histories > ~69 days of minutes),
+    # scrambling the id-order packing key while the order-insensitive
+    # conservation assert still passes — same derivation as rollup_job
     pseq = seqs.select(
-        F.substring("doc_id", -10, 10).cast("long").alias("doc_id"),
+        F.split(F.col("doc_id"), "-").getItem(1).cast("long").alias("doc_id"),
         "source", "tokens", "n_tok")
     expected = seqs.selectExpr("sum(n_tok)").collect()[0][0]
 
@@ -53,7 +57,9 @@ def main(argv=None):
         t0 = time.time()
         tokens = once()
         walls.append(round(time.time() - t0, 3))
-    assert int(tokens) == int(expected), "packing lost tokens"
+    if int(tokens) != int(expected):  # explicit: survives python -O
+        raise RuntimeError(
+            f"packing lost tokens: packed {tokens} vs input {expected}")
     print(json.dumps({
         "walls": walls,
         "tokens": int(tokens),

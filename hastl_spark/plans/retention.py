@@ -12,6 +12,7 @@ records what was dropped.
 from __future__ import annotations
 
 import os
+from datetime import timedelta
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -50,7 +51,10 @@ def apply_retention(spark: SparkSession, table: KeyedTable, keep_seconds: int,
     cutoff = F.lit(now) - F.expr(f"INTERVAL {int(keep_seconds)} SECONDS")
     kept = cur.filter(F.col(bucket_col) >= cutoff)
     rec = table.overwrite(spark, kept, watermark_col=bucket_col)
-    rec["retention_cutoff"] = str(now)
+    # record the actual CUTOFF (rows below it were dropped), not the
+    # horizon — an auditor reading lineage needs the deletion boundary
+    rec["retention_cutoff"] = str(now - timedelta(seconds=int(keep_seconds)))
+    rec["retention_horizon"] = str(now)
     rec["keep_seconds"] = int(keep_seconds)
     return rec
 
@@ -102,7 +106,8 @@ def _apply_retention_day_pruned(spark: SparkSession, table: KeyedTable,
         rec = {"snapshot": table.snapshot(), "partitions": []}
     rec.update({
         "op": "retention_day_pruned",
-        "retention_cutoff": str(now),
+        "retention_cutoff": str(now - timedelta(seconds=int(keep_seconds))),
+        "retention_horizon": str(now),
         "keep_seconds": int(keep_seconds),
         "dropped_partitions": len(fully_old),
         "rewritten_partitions": rewritten,

@@ -98,8 +98,9 @@ def run_pipeline(
 
         r1m_inv = r1m_inv.persist(StorageLevel.MEMORY_AND_DISK)
         row = r1m_inv.selectExpr("sum(bad) AS bad", "bit_xor(chk) AS chk").collect()[0]
-        assert (row["bad"] or 0) == 0, \
-            f"token-array invariant violated on {row['bad']} rows"
+        if (row["bad"] or 0) != 0:  # explicit raise: survives python -O
+            raise RuntimeError(
+                f"token-array invariant violated on {row['bad']} rows")
         metrics["token_invariant_violations"] = int(row["bad"] or 0)
         metrics["token_checksum"] = str(row["chk"])
         r1m = r1m_inv.select("source", "bucket", "cnt", "sum_n_tok")
@@ -444,6 +445,13 @@ def main(argv=None):
 
     stl_kwargs = ({"chunk_buckets": args.chunk_buckets}
                   if args.chunk_buckets else None)
+    if args.incremental_gapfill and not args.chunk_buckets:
+        # validate UP FRONT: the run_pipeline check only fires once the
+        # gapfill table exists, i.e. the SECOND run — by then the first run
+        # has already merged an unchunked full gapfill under the bad config
+        raise SystemExit("--incremental-gapfill requires --chunk-buckets "
+                         "(incremental recomputation is defined on the "
+                         "chunked grid)")
     if args.repeat == 1 and args.warmup == 0:
         metrics = run_pipeline(spark, seqs, args.out, n_salts=args.n_salts,
                                do_gorilla=not args.no_gorilla,

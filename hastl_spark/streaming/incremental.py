@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hastl_spark.operators.rollup import with_event_time
-from hastl_spark.sources.tables import KeyedTable
+from hastl_spark.sources.tables import DAY_SPEC, KeyedTable
 
 
 def streaming_rollup_1m(spark: SparkSession, seq_dir: str, schema,
@@ -47,7 +47,11 @@ def run_streaming_rollup(spark: SparkSession, seq_dir: str, table_path: str,
     MERGE-maintained KeyedTable. Returns the query handle."""
     schema = ("doc_id string, tokens array<int>, n_tok int, source string")
     agg = streaming_rollup_1m(spark, seq_dir, schema, late_threshold)
-    table = KeyedTable(table_path, ["source", "bucket"])
+    # SAME partition layout as the batch pipeline's tier_1m (DAY_SPEC):
+    # a source-partitioned stream table would rewrite each source's whole
+    # accumulated history per micro-batch (quadratic over the stream) and
+    # collide with the batch writer's layout guard on shared paths
+    table = KeyedTable(table_path, ["source", "bucket"], part_spec=DAY_SPEC)
 
     def sink(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():

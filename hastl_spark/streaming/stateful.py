@@ -23,7 +23,11 @@ from hastl_spark.sources.sequences import EPOCH0
 OUTPUT_SCHEMA = "source string, missing_bucket timestamp, detected_at timestamp"
 STATE_SCHEMA = "hwm long"
 
-_EPOCH0_S = 1767225600  # 2026-01-01T00:00:00Z, matches sources.sequences.EPOCH0
+# ONE source of truth for the epoch: derived from sources.sequences.EPOCH0
+# (a hardcoded twin would silently diverge if the fixture epoch moved)
+from datetime import datetime as _dt, timezone as _tz  # noqa: E402
+
+_EPOCH0_S = int(_dt.fromisoformat(EPOCH0).replace(tzinfo=_tz.utc).timestamp())
 
 
 def _gap_monitor(key, pdfs, state: GroupState):

@@ -96,3 +96,18 @@ def test_empty_index_probe_is_new_vs_new_only(spark, idx_path):
     batch = minhash_lsh_pairs_portable(new, n=5, k=16, bands=4,
                                        threshold=0.35)
     assert _pairs_set(inc) == _pairs_set(batch)
+
+
+def test_replay_probe_identical_after_merge(spark, idx_path):
+    """foreachBatch replay semantics: probing a batch AFTER its merge
+    committed yields exactly the first attempt's pairs — the index's copy
+    of the batch's own doc_ids is excluded from candidates and from the
+    bucket-cap counts."""
+    docs = _docs(spark)
+    idx = MinHashIndex(idx_path, n=5, k=16, bands=4)
+    idx.build(spark, docs.filter("doc_id < 200"))
+    batch = docs.filter("doc_id >= 200 AND doc_id < 300")
+    first = _pairs_set(idx.probe(spark, batch))
+    idx.build(spark, batch)                      # merge committed
+    replay = _pairs_set(idx.probe(spark, batch))  # retry after crash
+    assert replay == first

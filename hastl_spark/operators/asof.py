@@ -264,6 +264,16 @@ def asof_join_broadcast(
         raise ValueError(
             f"right side exceeds max_right_rows={max_right_rows}; "
             "use asof_join_bucketed for large-large as-of")
+    if rpdf[by].isna().any():
+        # the window plans group NULL keys together and match them; a dict
+        # keyed by NaN cannot (NaN != NaN under dict lookup) — refuse
+        # rather than silently drop the group (review finding). Left-side
+        # NULL keys stay unmatched under BOTH plans when the right side
+        # has none, so that path needs no special casing.
+        raise ValueError(
+            "asof_join_broadcast: right side has NULL by-keys — the "
+            "broadcast build cannot represent a NULL key group; use "
+            "asof_join (window plan) or filter the NULL keys explicitly")
     rpdf = rpdf.sort_values([by, right_on], kind="mergesort")
     # Build side: per key, typed numpy arrays only — the hot loop on the
     # workers must be pure fancy-indexing, no pandas conversions.

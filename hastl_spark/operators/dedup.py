@@ -164,7 +164,12 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 5, k: int = 32, bands: int = 8,
     """
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signatures(docs, n=n, k=k, text_col=text_col, id_col=id_col).cache()
+    # NOT cached: a .cache() here leaked one entry per call (CacheManager
+    # keys by plan; long-lived sessions accumulate), and the A/B at sf0.1
+    # measured the uncached self-join FASTER (0.91s vs 1.12s min-of-3) —
+    # the cache write+read costs more than recomputing the signature agg,
+    # and at corpus scale the signature frame would spill anyway
+    sig = minhash_signatures(docs, n=n, k=k, text_col=text_col, id_col=id_col)
     band_rows = sig.select(
         id_col, "sig",
         F.explode(
@@ -510,8 +515,9 @@ def minhash_lsh_pairs_portable(docs: DataFrame, n: int = 5, k: int = 16,
     assert k % bands == 0
     r = k // bands
     hs = [f"h{j}" for j in range(k)]
+    # uncached on purpose — see minhash_lsh_pairs (leak + measured slower)
     sig = minhash_signatures_portable(docs, n=n, k=k, text_col=text_col,
-                                      id_col=id_col).cache()
+                                      id_col=id_col)
     band_structs = [
         F.struct(F.lit(bi).alias("band"),
                  F.expr(_band_fold_sql(hs[bi * r:(bi + 1) * r])).alias("bh"))
@@ -689,7 +695,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, n: int = 4,
     ``max_hamming=3``; asking for a wider radius returns only the pairs that
     happen to collide in some band (documented recall loss — use more /
     rotated bands if a guaranteed radius > 3 is needed)."""
-    sh = simhash(docs, n=n, text_col=text_col, id_col=id_col).cache()
+    # uncached on purpose — see minhash_lsh_pairs (leak + measured slower)
+    sh = simhash(docs, n=n, text_col=text_col, id_col=id_col)
     bands = sh.select(
         id_col, "simhash",
         F.explode(

@@ -122,6 +122,11 @@ def stl_gapfill(
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         source = key[0]
         pdf = pdf.sort_values("bucket")
+        # duplicate buckets (shouldn't occur in rollup output, but) keep
+        # the first row — SAME policy as the chunked path, which dedups
+        # via index.duplicated(); reindex on a duplicated DatetimeIndex
+        # would raise here while the chunked path silently answers
+        pdf = pdf[~pdf["bucket"].duplicated()]
         idx = pd.DatetimeIndex(pdf["bucket"])
         grid = pd.date_range(idx.min(), idx.max(), freq=freq)
         s = pd.Series(pdf[value_col].astype("float64").values, index=idx)

@@ -109,10 +109,15 @@ def extract_features(media: DataFrame, dim: int = 8, thumb: int = 64,
     vectorized-per-row over the binary payloads (the decode itself is
     per-payload by nature). Output schema is fixed and typed.
 
-    ``use_real=None`` (default) routes through the real decoder iff PIL is
-    importable (probed at import); ``False`` forces the deterministic fake
-    (oracles/tests need reproducible values regardless of environment);
-    ``require_real=True`` fails fast when only the fake is available.
+    ``use_real=None`` (default) routes through the real decoder, which is
+    ALWAYS available: the stdlib PNG/WAV codecs back it, with PIL
+    preferred for those formats when importable and a deterministic fake
+    fallback for payloads neither can decode (e.g. JPEG without PIL;
+    ``real_decode_stats`` is the no-fallback variant that raises instead).
+    ``use_real=False`` forces the fake (oracles/tests need reproducible
+    values regardless of environment). ``require_real=True`` is kept for
+    API stability; since the stdlib codecs made real decode unconditional
+    it can no longer trigger.
     """
     if require_real and not HAVE_REAL_DECODERS:
         raise NotImplementedError(

@@ -57,9 +57,12 @@ def kmv_distinct(df: DataFrame, *, group_col: str, value_col: str,
     """
     if k < 2:
         raise ValueError("k must be >= 2")
+    # NULL values hash to NULL, would sort FIRST in the ascending rank
+    # window (nulls-first), eat a bottom-k slot and inflate n_seen — SQL
+    # count(DISTINCT) ignores NULLs, so the sketch must too
     hashes = df.select(
         F.col(group_col), kmv_hash(F.col(value_col)).alias("h")
-    ).distinct()
+    ).filter(F.col("h").isNotNull()).distinct()
     w = Window.partitionBy(group_col).orderBy("h")
     bottom = hashes.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= k)

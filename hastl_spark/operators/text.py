@@ -152,6 +152,12 @@ def fingerprint_portable(docs: DataFrame, window: int = 8,
     and is ~2x SLOWER: higher-order-function lambdas are interpreted per
     element, while the exploded poly expression runs in whole-stage codegen.)
     """
+    if window > 9:
+        raise ValueError(
+            "fingerprint window > 9 overflows int64 for full-Unicode text "
+            "(max poly term sum 0x10FFFF*(31^w-1)/30 exceeds 2^63 at w=10), "
+            "and numpy wraparound disagrees with Spark/DuckDB % sign "
+            "semantics — use a smaller window or a second hash pass")
     c = F.col(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(c) - (window - 1), F.lit(1))),
@@ -178,6 +184,12 @@ def fingerprint_portable_np(docs: DataFrame, window: int = 8,
     per-element Catalyst alternatives were measured slower (see
     :func:`fingerprint_portable`'s docstring) — this is the Arrow-batched
     escape hatch, not a row-at-a-time UDF."""
+    if window > 9:
+        raise ValueError(
+            "fingerprint window > 9 overflows int64 for full-Unicode text "
+            "(max poly term sum 0x10FFFF*(31^w-1)/30 exceeds 2^63 at w=10), "
+            "and numpy wraparound disagrees with Spark/DuckDB % sign "
+            "semantics — use a smaller window or a second hash pass")
     import numpy as np
     import pandas as pd
 
@@ -335,6 +347,15 @@ def deterministic_split(docs: DataFrame, train: float = 0.9,
 
     if not (0 < train < 1 and 0 <= valid < 1 and train + valid <= 1):
         raise ValueError("need 0<train<1, 0<=valid, train+valid<=1")
+    # integral-id guard (same hazard packing._require_integral_id names):
+    # kmv_hash casts to long, so a STRING id becomes NULL, both when()
+    # branches go NULL, and EVERY row silently lands in 'test'
+    dt = docs.schema[id_col].dataType.simpleString()
+    if dt not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise ValueError(
+            f"deterministic_split needs an integral id column; {id_col!r} "
+            f"is {dt} — derive a numeric id first (a string id casts to "
+            "NULL and every row would silently split to 'test')")
     u = F.pmod(kmv_hash(F.col(id_col)), F.lit(10_000))
     t_hi = int(round(train * 10_000))
     v_hi = t_hi + int(round(valid * 10_000))

@@ -482,10 +482,17 @@ class KeyedTable:
                 # replace_partitions supersedes the partition's CONTENT, so
                 # its watermark is the new content's max, not max-with-old:
                 # a takedown that removes the highest-ts rows must LOWER the
-                # watermark or incremental consumers skip the re-merge range
-                man["watermarks"][pval] = (
-                    wm if replace_partitions or prev is None
-                    else max(wm, prev))
+                # watermark or incremental consumers skip the re-merge range.
+                # A None wm (watermark column entirely NULL in this
+                # partition) never participates in max() — keyed merges
+                # keep the previous watermark, replaces clear it.
+                if wm is None:
+                    if replace_partitions:
+                        man["watermarks"].pop(pval, None)
+                else:
+                    man["watermarks"][pval] = (
+                        wm if replace_partitions or prev is None
+                        else max(wm, prev))
 
         self._evolve_schema(man, stats_src.schema)
 
@@ -561,7 +568,14 @@ class KeyedTable:
         man["partitions"] = {
             p: os.path.join(rel_base, d) for p, d in part_dirs.items()}
         if watermark_col is not None:
-            man["watermarks"] = {p: _wm_json(stats[p]["_wm"]) for p in part_dirs}
+            man["watermarks"] = {p: _wm_json(stats[p]["_wm"]) for p in part_dirs
+                                 if _wm_json(stats[p]["_wm"]) is not None}
+        else:
+            # every partition's content was superseded: the previous
+            # generation's watermarks are stale metadata — clear them
+            # (ghost entries otherwise survive in lineage and rollback)
+            man["watermarks"] = {}
+            man.pop("watermark_col", None)
         record = {
             "snapshot": snap,
             "op": "overwrite",

@@ -29,7 +29,73 @@ from hastl_spark.operators.text import lang_guess, quality_score, with_text_stat
 # ---------------------------------------------------------------- helpers
 
 
+_SCAN_PAR_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _effective_scan_tasks(spark: SparkSession, path: str) -> int:
+    """Effective parquet scan parallelism: Spark assigns a row group to the
+    byte split holding its midpoint, so the number of tasks that actually
+    receive rows is min(byte splits, total row groups). The driver testdata
+    ships each table as ONE file with ONE row group, which makes every scan
+    stage a single task no matter the core count."""
+    import os
+
+    files = []
+    if os.path.isdir(path):
+        for root, _, names in os.walk(path):
+            files += [os.path.join(root, n) for n in names
+                      if n.endswith(".parquet")]
+    elif os.path.isfile(path):
+        files = [path]
+    else:
+        return 1 << 30  # non-local layout: assume healthy, change nothing
+    try:
+        import pyarrow.parquet as pq
+        groups = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    except Exception:
+        groups = len(files)
+    # byte splits: Spark's own formula (maxSplitBytes = min(maxPartitionBytes,
+    # max(openCostInBytes, totalBytes/defaultParallelism)))
+    total = sum(os.path.getsize(f) for f in files)
+    par = spark.sparkContext.defaultParallelism
+    max_split = min(128 << 20, max(4 << 20, total // max(par, 1)))
+    splits = max(1, -(-total // max_split))
+    return min(splits, groups)
+
+
+def _read_par(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet with a scan-parallelism floor (optimization guide §2.5
+    "input skew": one huge unsplittable input -> repartition immediately
+    after the read; §6 input split size). When the file layout cannot feed
+    every core (single file / single row group), redistribute round-robin to
+    defaultParallelism right after the read: the exchange carries only the
+    pruned columns of a table that is by construction smaller than one row
+    group per core, and every downstream explode/aggregate/window stage then
+    uses the whole machine. At real (100 TB) scale the layout has far more
+    row groups than cores, the condition is false, and the plan is untouched
+    (no extra exchange) — scale-adaptive, not tuned to local[32].
+
+    Filters and projections still push through the repartition to the scan
+    (PushedFilters/ReadSchema verified in plans/r06/)."""
+    df = spark.read.parquet(path)
+    par = spark.sparkContext.defaultParallelism
+    key = (path, par)
+    eff = _SCAN_PAR_CACHE.get(key)
+    if eff is None:
+        eff = _effective_scan_tasks(spark, path)
+        _SCAN_PAR_CACHE[key] = eff
+    if eff < par:
+        df = df.repartition(par)
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no parallelism floor here: event queries do trivial per-row work into
+    # keyed aggregations/windows, so map-side partial agg in the scan task
+    # beats paying a full-row exchange first (A/B at sf1.0: top_users
+    # 0.31s -> 1.31s, lineitem_pricing 0.51s -> 1.05s with the floor ON).
+    # The doc/embedding scans keep it because their per-row work is
+    # amplified ~1000x by explodes/regex/matmul before anything shuffles.
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
@@ -49,12 +115,22 @@ def _scratch_index_dir(name: str, sf_dir: str) -> str:
     return d
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _docs(spark: SparkSession, sf_dir: str, floor: bool = False) -> DataFrame:
+    """``floor=True`` opts a query into the scan-parallelism floor. Opt-in,
+    not blanket, per the sf1.0 A/B: queries whose per-row work is amplified
+    ~1000x before any exchange (char/word-gram explodes, regex chains,
+    per-gram hashing) win 2-14x; queries that go straight into a keyed
+    window/aggregation/write (packing prefix sums, exact dedup's hash
+    groupBy, the persisted-index builds) LOSE 0.3-2.2s because the floor's
+    full-row exchange replaces their map-side combine / multiplies their
+    index files."""
+    p = f"{sf_dir}/documents.parquet"
+    return _read_par(spark, p) if floor else spark.read.parquet(p)
 
 
-def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+def _embs(spark: SparkSession, sf_dir: str, floor: bool = False) -> DataFrame:
+    p = f"{sf_dir}/embeddings.parquet"
+    return _read_par(spark, p) if floor else spark.read.parquet(p)
 
 
 def _rollup_events_1m(spark, sf_dir) -> DataFrame:
@@ -169,17 +245,17 @@ def q_revenue_by_nation(spark, sf_dir):
 
 
 def q_docs_stats(spark, sf_dir):
-    return with_text_stats(_docs(spark, sf_dir)).select(
+    return with_text_stats(_docs(spark, sf_dir, floor=True)).select(
         "doc_id", "chars", "tokens_ws", "punct_cnt", "stopword_cnt", "mean_tok_len"
     )
 
 
 def q_docs_quality(spark, sf_dir):
-    return quality_score(_docs(spark, sf_dir)).select("doc_id", "quality")
+    return quality_score(_docs(spark, sf_dir, floor=True)).select("doc_id", "quality")
 
 
 def q_docs_lang(spark, sf_dir):
-    return lang_guess(_docs(spark, sf_dir)).select("doc_id", "lang_guess")
+    return lang_guess(_docs(spark, sf_dir, floor=True)).select("doc_id", "lang_guess")
 
 
 def q_docs_tokens_bpe(spark, sf_dir):
@@ -187,7 +263,7 @@ def q_docs_tokens_bpe(spark, sf_dir):
     token accounting without a tokenizer dependency)."""
     from hastl_spark.operators.text import token_count, token_count_bpe
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, floor=True)
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("tokens_ws"),
@@ -200,7 +276,7 @@ def q_docs_scrubbed(spark, sf_dir):
     so the scrub is value-checked end to end)."""
     from hastl_spark.operators.text import scrub_text
 
-    return scrub_text(_docs(spark, sf_dir)).select("doc_id", "text_scrubbed")
+    return scrub_text(_docs(spark, sf_dir, floor=True)).select("doc_id", "text_scrubbed")
 
 
 def q_docs_exact_dedup(spark, sf_dir):
@@ -218,13 +294,13 @@ def q_dup_groups(spark, sf_dir):
     through the Jaccard>=0.5 pair graph (singletons label themselves)."""
     from hastl_spark.operators.dedup import dup_group_labels
 
-    docs = _docs(spark, sf_dir).filter("doc_id < 150")
+    docs = _docs(spark, sf_dir, floor=True).filter("doc_id < 150")
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
     return dup_group_labels(docs.select("doc_id"), pairs)
 
 
 def q_embeddings_knn(spark, sf_dir):
-    embs = _embs(spark, sf_dir)
+    embs = _embs(spark, sf_dir, floor=True)
     return brute_force_topk(embs, embs.filter("vec_id < 8"), k=5).select(
         "query_id", "neighbor_id", "rank"
     )
@@ -235,7 +311,7 @@ def q_minhash_portable(spark, sf_dir):
     unlike the xxhash64-based LSH variant)."""
     from hastl_spark.operators.dedup import minhash_signatures_portable
 
-    docs = _docs(spark, sf_dir).filter("doc_id < 300")
+    docs = _docs(spark, sf_dir, floor=True).filter("doc_id < 300")
     return minhash_signatures_portable(docs, n=5, k=16)
 
 
@@ -244,7 +320,7 @@ def q_embedding_near_dups(spark, sf_dir):
     variant is exercised rows-only via ann_topk)."""
     from hastl_spark.operators.dedup import embedding_near_dups
 
-    embs = _embs(spark, sf_dir).filter("vec_id < 400")
+    embs = _embs(spark, sf_dir, floor=True).filter("vec_id < 400")
     return embedding_near_dups(embs, threshold=0.4, use_lsh=False)
 
 
@@ -395,7 +471,7 @@ def q_simhash_portable(spark, sf_dir):
     xxhash64 variant is exercised by tests + simhash_near_pairs)."""
     from hastl_spark.operators.dedup import simhash_portable
 
-    return simhash_portable(_docs(spark, sf_dir).filter("doc_id < 300"))
+    return simhash_portable(_docs(spark, sf_dir, floor=True).filter("doc_id < 300"))
 
 
 def q_fingerprints_portable(spark, sf_dir):
@@ -404,7 +480,7 @@ def q_fingerprints_portable(spark, sf_dir):
     same values as the Catalyst explode shape (pinned by test), ~3x faster."""
     from hastl_spark.operators.text import fingerprint_portable_np
 
-    return fingerprint_portable_np(_docs(spark, sf_dir))
+    return fingerprint_portable_np(_docs(spark, sf_dir, floor=True))
 
 
 def q_value_stats(spark, sf_dir):
@@ -422,7 +498,7 @@ def q_docs_rarity(spark, sf_dir):
     (the tf x linear-idf precedent)."""
     from hastl_spark.operators.text import token_rarity
 
-    return token_rarity(_docs(spark, sf_dir))
+    return token_rarity(_docs(spark, sf_dir, floor=True))
 
 
 def q_corpus_prep(spark, sf_dir):
@@ -440,7 +516,7 @@ def q_corpus_prep(spark, sf_dir):
     from hastl_spark.operators.packing import pack_sequences
     from hastl_spark.operators.text import quality_score
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, floor=True)
     q = quality_score(docs).filter(F.col("quality") >= 0.8)
     keep = exact_dup_groups(q).select(F.col("keep_id").alias("doc_id"))
     surv = q.join(keep, "doc_id")
@@ -459,7 +535,7 @@ def q_contamination(spark, sf_dir):
     broadcast-semi-join plan — the corpus never shuffles."""
     from hastl_spark.operators.dedup import contamination_flags
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, floor=True)
     return contamination_flags(docs, docs.filter("doc_id % 97 = 0"), n=16)
 
 
@@ -542,7 +618,7 @@ def q_ivf_topk_full(spark, sf_dir):
     n_probe<n_lists path is covered by tests/test_ivf.py recall checks."""
     from hastl_spark.operators.ivf import ivf_topk, train_centroids
 
-    embs = _embs(spark, sf_dir)
+    embs = _embs(spark, sf_dir, floor=True)
     C = train_centroids(embs, dim=64, n_lists=16)
     return ivf_topk(embs, embs.filter("vec_id < 8"), C, k=5, n_probe=16).select(
         "query_id", "neighbor_id", "rank"
@@ -846,7 +922,7 @@ def q_docs_repetition(spark, sf_dir):
     repeat an earlier 3-gram. Zero-shuffle per-row array expressions."""
     from hastl_spark.operators.text import repetition_ratio
 
-    return repetition_ratio(_docs(spark, sf_dir), n=3)
+    return repetition_ratio(_docs(spark, sf_dir, floor=True), n=3)
 
 
 def q_tfidf_top3(spark, sf_dir):
@@ -854,7 +930,7 @@ def q_tfidf_top3(spark, sf_dir):
     (score = tf*N/df — exact integer ratio, cross-engine bit-identical)."""
     from hastl_spark.operators.text import tf_top_terms
 
-    return tf_top_terms(_docs(spark, sf_dir), k=3)
+    return tf_top_terms(_docs(spark, sf_dir, floor=True), k=3)
 
 
 def q_vocab_top50(spark, sf_dir):
@@ -862,7 +938,7 @@ def q_vocab_top50(spark, sf_dir):
     compiles to per-partition top-k, never a full sort."""
     from hastl_spark.operators.text import vocab_topk
 
-    return vocab_topk(_docs(spark, sf_dir), k=50, n=2)
+    return vocab_topk(_docs(spark, sf_dir, floor=True), k=50, n=2)
 
 
 def q_state_durations(spark, sf_dir):

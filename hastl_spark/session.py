@@ -59,6 +59,19 @@ def get_spark(cpus: int | None = None, shuffle_partitions: int | None = None,
         # manifest, not by job-commit atomicity, so v2 is safe here.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # InferFiltersFromGenerate copies the exploded expression into an
+        # inferred `size(e) > 0 AND isnotnull(e)` Filter below the Generate.
+        # For a STORED array column that can prune a scan, but every explode
+        # here generates from a DERIVED array (grams/shingles/qvec
+        # transforms), so the rule just re-evaluates the whole array
+        # expression per row in an interpreted Filter — Generate already
+        # skips null/empty inputs itself (outer=false). Worst case measured:
+        # quantize's per-element lambda referencing an inlined array_max
+        # went O(d^2) interpreted TWICE; embeddings_quantized 3.4s -> 0.25s
+        # at sf1.0 with the rule excluded. Semantics unchanged (the rule is
+        # an optimization only).
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
         # FAIR job scheduling: the pipeline overlaps independent stages
         # (gap-fill vs tier cascade) from concurrent driver threads; FIFO
         # would give the first job every slot and serialize the overlap

@@ -618,7 +618,11 @@ def q_ivf_topk_full(spark, sf_dir):
     n_probe<n_lists path is covered by tests/test_ivf.py recall checks."""
     from hastl_spark.operators.ivf import ivf_topk, train_centroids
 
-    embs = _embs(spark, sf_dir, floor=True)
+    # no floor: the query is a chain of jobs (TakeOrdered sample collect,
+    # then the cell-join plan) and each one would re-pay the repartition
+    # exchange — A/B: sf0.1 0.99s -> 1.62s floored, and the sf1.0 gain is
+    # smaller than that loss
+    embs = _embs(spark, sf_dir)
     C = train_centroids(embs, dim=64, n_lists=16)
     return ivf_topk(embs, embs.filter("vec_id < 8"), C, k=5, n_probe=16).select(
         "query_id", "neighbor_id", "rank"

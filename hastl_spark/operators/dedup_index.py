@@ -181,10 +181,16 @@ class MinHashIndex:
         ``merge=False``)."""
         new_rows = self.band_rows(new_docs, text_col=text_col,
                                   id_col=id_col).persist()
+        # eager localCheckpoint instead of persist()+count(): same single
+        # materialization job pinning the PRE-merge snapshot, but the
+        # blocks are released by the ContextCleaner when the frame is
+        # garbage-collected — a persisted frame returned to the caller
+        # leaked one cache entry per call in a long-lived session (ADVICE
+        # r5 finding; dedup_stream's sink had to unpersist by hand)
         pairs = self.probe(spark, new_docs, threshold=threshold,
                            max_bucket=max_bucket, text_col=text_col,
-                           id_col=id_col, _new_rows=new_rows).persist()
-        pairs.count()  # pin results before the index advances
+                           id_col=id_col,
+                           _new_rows=new_rows).localCheckpoint(eager=True)
         record = None
         if merge:
             # the merge reuses the cached band rows: signatures are

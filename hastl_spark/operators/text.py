@@ -304,16 +304,19 @@ def tf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
     aggregate, same class as the as-of probe collects)."""
     from pyspark.sql import Window
 
-    n_docs = docs.count()  # bounded scalar (one count job, reused as a literal)
+    # corpus doc count as an in-plan broadcast scalar (the oracle's CROSS
+    # JOIN n shape): one job instead of a separate count() action + the
+    # real query — same long*double/long arithmetic, bit-identical score
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     words = (docs.select(id_col,
                          F.explode(F.split(F.col(text_col), " ", -1))
                          .alias("term"))
              .filter(F.col("term") != ""))
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df_, "term").select(
+    scored = tf.join(df_, "term").crossJoin(F.broadcast(n_docs)).select(
         id_col, "term",
-        (F.col("tf") * F.lit(float(n_docs)) / F.col("df")).alias("score"))
+        (F.col("tf") * F.col("_n") / F.col("df")).alias("score"))
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
@@ -399,14 +402,19 @@ def token_rarity(docs: DataFrame, text_col: str = "text",
              .filter(F.col("term") != ""))
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
-    # bounded scalar; None when no doc has a non-empty token — any non-zero
-    # divisor works then (per_doc is empty), so the plan stays valid
-    total = cf.agg(F.sum("cf")).collect()[0][0] or 1
+    # total occurrences as an in-plan broadcast scalar (the oracle's
+    # ``(SELECT total FROM tot)`` shape). Previously this was a collect()
+    # whose job ran the whole explode -> tf -> cf chain a second time;
+    # in-plan, ReuseExchange shares the tf and cf exchanges between the
+    # total branch and the per_doc branch, so the chain runs once and the
+    # query is ONE job. long * double arithmetic unchanged (bit-identical
+    # to the former float(total) literal).
+    tot = cf.agg(F.sum("cf").cast("double").alias("_total"))
     per_doc = (tf.join(cf, "term")
                .groupBy(id_col)
                .agg(F.sum("tf").alias("n_tokens"),
                     F.sum(F.col("tf") * F.col("cf")).alias("cf_sum")))
-    return per_doc.select(
+    return per_doc.crossJoin(F.broadcast(tot)).select(
         F.col(id_col), F.col("n_tokens"), F.col("cf_sum"),
-        (F.col("cf_sum") / (F.col("n_tokens") * F.lit(float(total))))
+        (F.col("cf_sum") / (F.col("n_tokens") * F.col("_total")))
         .alias("rarity"))

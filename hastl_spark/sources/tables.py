@@ -629,6 +629,19 @@ class KeyedTable:
                     "rewritten": [], "dropped": [],
                     "snapshot": self.snapshot()}
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        man = self._load()
+        if man.get("watermarks") and man.get("watermark_col") is None:
+            # manifests written before watermark_col recording carry
+            # watermarked partitions but no column name to recompute them
+            # from — deleting max-ts rows would silently keep the stale
+            # (too-high) watermark and incremental consumers would skip
+            # the re-merge range (ADVICE r5). Fail fast instead.
+            raise ValueError(
+                f"table {self.path} has partition watermarks but no "
+                "recorded watermark_col (pre-upgrade manifest); "
+                "delete_where cannot recompute watermarks after the "
+                "rewrite — run one merge_upsert(..., watermark_col=...) "
+                "to record the column first")
         df = self._with_part(self.read(spark))
         pc = self.partition_col
 
@@ -739,9 +752,18 @@ class KeyedTable:
                               if p in pm})
         # restore the file schema as of the rolled-back-to snapshot: a
         # later overwrite may have RESET it (retype), and reading the old
-        # files through the newer schema misdecodes (review finding)
-        if rec.get("schema") is not None:
-            man["schema"] = rec["schema"]
+        # files through the newer schema misdecodes (review finding). A
+        # recorded schema of None (e.g. the empty-table snapshot after a
+        # full drop_partitions, which deliberately sheds the schema) must
+        # POP the current schema, not keep it — otherwise the rollback
+        # reintroduces the ghost-column/retype hazard drop_partitions
+        # removed (ADVICE r5). Records from before schema recording carry
+        # no key at all; for those the current schema is the best guess.
+        if "schema" in rec:
+            if rec["schema"] is not None:
+                man["schema"] = rec["schema"]
+            else:
+                man.pop("schema", None)
         record = {
             "snapshot": snap,
             "op": "rollback",

@@ -6,12 +6,20 @@ MinHashIndex` for near-dup pairs (new-vs-everything-seen and
 new-vs-new), appends them to the pairs sink, and merges the batch's
 signatures into the index so LATER batches dedup against it.
 
-Exactness: every unordered near-dup pair is emitted exactly once — in
-the micro-batch where its LATER element arrives (both-in-one-batch pairs
-come from the probe's new-vs-new side). So the union of emitted pairs
-over any batch partitioning of the corpus equals the batch LSH self-join
-over the whole corpus — pinned by test against
-``minhash_lsh_pairs_portable``.
+Exactness — DISJOINT batches assumed: every unordered near-dup pair is
+emitted exactly once — in the micro-batch where its LATER element
+arrives (both-in-one-batch pairs come from the probe's new-vs-new side).
+So the union of emitted pairs over any batch PARTITIONING of the corpus
+(each doc_id arrives in exactly one batch) equals the batch LSH
+self-join over the whole corpus — pinned by test against
+``minhash_lsh_pairs_portable``. A doc_id RE-INGESTED in a later
+micro-batch is outside that invariant: the probe correctly skips the
+doc's own stale index rows (left-anti guard), but its pairs are
+re-emitted under the new ``_batch`` partition, duplicating rows in the
+pairs sink. Consumers of a feed that can re-send documents should
+dedupe the sink on (id_a, id_b) downstream (or drop a re-ingested doc's
+prior pairs when its index rows are replaced); only replay-after-merge
+of the SAME batch converges to identical sink content.
 
 Failure semantics: foreachBatch is at-least-once. The index merge is
 keyed (a replayed batch upserts the same rows — idempotent), and the

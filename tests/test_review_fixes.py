@@ -131,3 +131,21 @@ def test_rollback_to_schema_none_snapshot_sheds_schema(spark, tmp_path):
     t.rollback(2)
     # the rolled-back manifest must not keep snap 3's string-v schema
     assert t._load().get("schema") is None
+
+
+def test_sliced_events_read_equals_plain(spark, monkeypatch):
+    """r6 sliced-scan guard: the union of disjoint hash slices must be an
+    exact row partition of the plain read (thresholds patched low so the
+    sliced path triggers on the tiny fixture)."""
+    import __spark_entry__ as e
+
+    e._SCAN_PAR_CACHE.clear()
+    monkeypatch.setattr(e, "_SLICE_MIN_ROWS", 10)
+    monkeypatch.setattr(e, "_SLICE_TARGET_ROWS", 25)
+    path = "/root/testdata/sf0.001/events.parquet"
+    plain = spark.read.parquet(path)
+    sliced = e._read_sliced(spark, path, "event_id")
+    assert "Union" in sliced._jdf.queryExecution().optimizedPlan().toString()
+    assert sorted(map(tuple, plain.collect())) \
+        == sorted(map(tuple, sliced.collect()))
+    e._SCAN_PAR_CACHE.clear()

@@ -270,7 +270,7 @@ def q_sessions(spark, sf_dir):
 
 
 def q_lineitem_pricing(spark, sf_dir):
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _read_sliced(spark, f"{sf_dir}/lineitem.parquet", "l_orderkey")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -285,9 +285,9 @@ def q_lineitem_pricing(spark, sf_dir):
 
 
 def q_revenue_by_nation(spark, sf_dir):
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = _read_sliced(spark, f"{sf_dir}/customer.parquet", "c_custkey")
+    orders = _read_sliced(spark, f"{sf_dir}/orders.parquet", "o_orderkey")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")  # 25 rows
     return (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)

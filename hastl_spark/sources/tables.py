@@ -407,42 +407,75 @@ class KeyedTable:
              .parquet(os.path.join(self.path, rel_base)))
             part_dirs = self._list_parts(os.path.join(self.path, rel_base), pc)
         else:
-            rel_stage = rel_base + "_stage"
-            stage_dir = os.path.join(self.path, rel_stage)
-            (updates.withColumn("_pk", F.col(pc))
-             .repartition(F.col(pc))
-             .write.mode("overwrite").partitionBy(pc)
-             .parquet(stage_dir))
-            part_dirs = self._list_parts(stage_dir, pc)
-
-            existing = [p for p in part_dirs if p in man["partitions"]]
-            if existing and not replace_partitions:
-                # the staged dirs carry the UPDATE's schema, which may have
-                # evolved beyond the manifest's — read them with inference,
-                # not the (older) manifest schema, or added columns vanish
-                staged = self._read_dirs(
-                    spark,
-                    [os.path.join(rel_stage, d) for d in part_dirs.values()],
-                    with_schema=False)
+            # Partition values of the update set, rendered Spark-side with
+            # cast-to-string — the same rendering partition dir names use —
+            # so they compare exactly against the manifest's decoded keys.
+            # This tiny distinct job also materializes the updates cache
+            # (the role the old stage write played). r6: the key-merge path
+            # previously STAGED the updates to parquet and read them back
+            # purely for schema/partition discovery, writing every touched
+            # partition TWICE; the cached updates frame provides both
+            # directly, so a key-merge now writes the data once — half the
+            # write bytes of every incremental merge.
+            pvals = [r[0] for r in
+                     updates.select(F.col(pc).cast("string")).distinct()
+                     .collect()]
+            existing = [p for p in pvals
+                        if p is not None and p in man["partitions"]]
+            if (existing and not replace_partitions
+                    and not any(v is None for v in pvals)):
                 cur = self._read_dirs(spark, [man["partitions"][p] for p in existing])
-                keep = cur.join(staged.select(*self.key_cols).distinct(),
+                keep = cur.join(updates.select(*self.key_cols).distinct(),
                                 on=self.key_cols, how="left_anti")
                 # allowMissingColumns = schema evolution: updates may ADD
                 # columns (existing rows read as NULL) and need not repeat
                 # columns they don't change the shape of — the old
                 # select(*keep.columns) SILENTLY DROPPED added columns
-                merged = (keep.unionByName(staged, allowMissingColumns=True)
+                merged = (keep.unionByName(updates, allowMissingColumns=True)
                           .persist(StorageLevel.MEMORY_AND_DISK))
                 (merged.withColumn("_pk", F.col(pc))
                  .repartition(F.col(pc))
                  .write.mode("overwrite").partitionBy(pc)
                  .parquet(os.path.join(self.path, rel_base)))
+                part_dirs = self._list_parts(
+                    os.path.join(self.path, rel_base), pc)
                 stats_src = merged
             else:
-                # nothing to key-merge (fresh partitions, or full-partition
-                # replace): the staged write IS the new snapshot — rename,
-                # don't rewrite
-                os.rename(stage_dir, os.path.join(self.path, rel_base))
+                # nothing to key-merge (fresh partitions, full-partition
+                # replace, or a NULL partition value — the one case where
+                # cast-to-string cannot reproduce the
+                # __HIVE_DEFAULT_PARTITION__ manifest key, key-merged below
+                # via the staged read): stage, then rename or merge.
+                rel_stage = rel_base + "_stage"
+                stage_dir = os.path.join(self.path, rel_stage)
+                (updates.withColumn("_pk", F.col(pc))
+                 .repartition(F.col(pc))
+                 .write.mode("overwrite").partitionBy(pc)
+                 .parquet(stage_dir))
+                part_dirs = self._list_parts(stage_dir, pc)
+                existing = [p for p in part_dirs if p in man["partitions"]]
+                if existing and not replace_partitions:
+                    staged = self._read_dirs(
+                        spark,
+                        [os.path.join(rel_stage, d)
+                         for d in part_dirs.values()],
+                        with_schema=False)
+                    cur = self._read_dirs(
+                        spark, [man["partitions"][p] for p in existing])
+                    keep = cur.join(staged.select(*self.key_cols).distinct(),
+                                    on=self.key_cols, how="left_anti")
+                    merged = (keep.unionByName(staged,
+                                               allowMissingColumns=True)
+                              .persist(StorageLevel.MEMORY_AND_DISK))
+                    (merged.withColumn("_pk", F.col(pc))
+                     .repartition(F.col(pc))
+                     .write.mode("overwrite").partitionBy(pc)
+                     .parquet(os.path.join(self.path, rel_base)))
+                    stats_src = merged
+                else:
+                    # the staged write IS the new snapshot — rename,
+                    # don't rewrite
+                    os.rename(stage_dir, os.path.join(self.path, rel_base))
 
         # watermarks + row counts: first choice is the parquet footers of
         # the files just written (metadata-only, zero Spark jobs — Iceberg

@@ -60,8 +60,14 @@ def _scan_layout(spark: SparkSession, path: str) -> tuple[int, int]:
     except Exception:
         groups, rows = len(files), 0
     # byte splits: Spark's own formula (maxSplitBytes = min(maxPartitionBytes,
-    # max(openCostInBytes, totalBytes/defaultParallelism)))
-    total = sum(os.path.getsize(f) for f in files)
+    # max(openCostInBytes, totalBytes/defaultParallelism))). getsize guarded
+    # like the footer reads: a file vanishing between os.walk and here (e.g.
+    # a concurrent rewrite) must degrade to "assume healthy", not crash
+    # query construction (review finding).
+    try:
+        total = sum(os.path.getsize(f) for f in files)
+    except OSError:
+        return (1 << 30, 0)
     par = spark.sparkContext.defaultParallelism
     max_split = min(128 << 20, max(4 << 20, total // max(par, 1)))
     splits = max(1, -(-total // max_split))

@@ -417,35 +417,47 @@ class KeyedTable:
             # partition TWICE; the cached updates frame provides both
             # directly, so a key-merge now writes the data once — half the
             # write bytes of every incremental merge.
-            pvals = [r[0] for r in
-                     updates.select(F.col(pc).cast("string")).distinct()
-                     .collect()]
-            existing = [p for p in pvals
-                        if p is not None and p in man["partitions"]]
-            if (existing and not replace_partitions
-                    and not any(v is None for v in pvals)):
-                cur = self._read_dirs(spark, [man["partitions"][p] for p in existing])
-                keep = cur.join(updates.select(*self.key_cols).distinct(),
+            def _write_merged(update_frame, existing_rels):
+                """Key-merge ``update_frame`` against the named existing
+                partition dirs and write the snapshot ONCE (shared by the
+                stage-less fast path and the staged fallback — keep the two
+                merge paths byte-identical)."""
+                cur = self._read_dirs(spark, existing_rels)
+                keep = cur.join(update_frame.select(*self.key_cols).distinct(),
                                 on=self.key_cols, how="left_anti")
                 # allowMissingColumns = schema evolution: updates may ADD
                 # columns (existing rows read as NULL) and need not repeat
                 # columns they don't change the shape of — the old
                 # select(*keep.columns) SILENTLY DROPPED added columns
-                merged = (keep.unionByName(updates, allowMissingColumns=True)
-                          .persist(StorageLevel.MEMORY_AND_DISK))
-                (merged.withColumn("_pk", F.col(pc))
+                m = (keep.unionByName(update_frame, allowMissingColumns=True)
+                     .persist(StorageLevel.MEMORY_AND_DISK))
+                (m.withColumn("_pk", F.col(pc))
                  .repartition(F.col(pc))
                  .write.mode("overwrite").partitionBy(pc)
                  .parquet(os.path.join(self.path, rel_base)))
+                return m
+
+            pvals = [r[0] for r in
+                     updates.select(F.col(pc).cast("string")).distinct()
+                     .collect()]
+            # NULL and EMPTY STRING both render as __HIVE_DEFAULT_PARTITION__
+            # in partition dir names, so neither compares against manifest
+            # keys via cast-to-string — route them to the staged fallback,
+            # whose dir-listing-derived keys handle them exactly (review
+            # finding: the first cut checked only None and silently
+            # overwrote an existing ''-partition instead of key-merging it)
+            degenerate = any(v is None or v == "" for v in pvals)
+            existing = [p for p in pvals if p and p in man["partitions"]]
+            if existing and not replace_partitions and not degenerate:
+                merged = _write_merged(
+                    updates, [man["partitions"][p] for p in existing])
                 part_dirs = self._list_parts(
                     os.path.join(self.path, rel_base), pc)
                 stats_src = merged
             else:
                 # nothing to key-merge (fresh partitions, full-partition
-                # replace, or a NULL partition value — the one case where
-                # cast-to-string cannot reproduce the
-                # __HIVE_DEFAULT_PARTITION__ manifest key, key-merged below
-                # via the staged read): stage, then rename or merge.
+                # replace) or a degenerate partition value: stage, then
+                # rename or merge via the staged read.
                 rel_stage = rel_base + "_stage"
                 stage_dir = os.path.join(self.path, rel_stage)
                 (updates.withColumn("_pk", F.col(pc))
@@ -460,17 +472,8 @@ class KeyedTable:
                         [os.path.join(rel_stage, d)
                          for d in part_dirs.values()],
                         with_schema=False)
-                    cur = self._read_dirs(
-                        spark, [man["partitions"][p] for p in existing])
-                    keep = cur.join(staged.select(*self.key_cols).distinct(),
-                                    on=self.key_cols, how="left_anti")
-                    merged = (keep.unionByName(staged,
-                                               allowMissingColumns=True)
-                              .persist(StorageLevel.MEMORY_AND_DISK))
-                    (merged.withColumn("_pk", F.col(pc))
-                     .repartition(F.col(pc))
-                     .write.mode("overwrite").partitionBy(pc)
-                     .parquet(os.path.join(self.path, rel_base)))
+                    merged = _write_merged(
+                        staged, [man["partitions"][p] for p in existing])
                     stats_src = merged
                 else:
                     # the staged write IS the new snapshot — rename,

@@ -80,7 +80,9 @@ def run_streaming_dedup(
          .write.partitionBy("_batch")
          .option("partitionOverwriteMode", "dynamic")
          .mode("overwrite").parquet(pairs_out_dir))
-        pairs.unpersist()
+        # no manual release: dedup_incremental returns an eagerly
+        # localCheckpoint-ed frame (never persist()-ed); its blocks are
+        # freed by the ContextCleaner once the frame is garbage-collected
 
     writer = (
         stream.writeStream.foreachBatch(sink)

@@ -277,7 +277,7 @@ def main():
                                  n=16)
     clean_ = surv_.join(
         flags_.filter(~F.col("contaminated")).select("doc_id"), "doc_id")
-    packed_ = pack_sequences(clean_, 2048)
+    packed_ = pack_sequences(clean_, entrymod._PACK_BUDGET)
     p = plan_of(clean_.select("doc_id", "quality").join(packed_, "doc_id")
                 .select("doc_id", "source", "quality", "pack_id",
                         "pack_offset", "packs_spanned"))

@@ -149,3 +149,20 @@ def test_sliced_events_read_equals_plain(spark, monkeypatch):
     assert sorted(map(tuple, plain.collect())) \
         == sorted(map(tuple, sliced.collect()))
     e._SCAN_PAR_CACHE.clear()
+
+
+def test_merge_key_merges_empty_string_partition(spark, tmp_path):
+    """r6 review finding: '' and NULL partition values both render as
+    __HIVE_DEFAULT_PARTITION__ in dir names, so the stage-less fast path
+    cannot compare them against manifest keys — they must route to the
+    staged fallback and KEY-MERGE, never overwrite the partition."""
+    t = KeyedTable(str(tmp_path / "t"), ["source", "bucket"])
+    t.merge_upsert(spark, spark.createDataFrame(
+        [("a", 1, 10), ("", 1, 20), ("", 2, 21)],
+        "source string, bucket int, v long"))
+    t.merge_upsert(spark, spark.createDataFrame(
+        [("a", 2, 11), ("", 1, 99)],
+        "source string, bucket int, v long"))
+    got = {(r.source, r.bucket): r.v for r in t.read(spark).collect()}
+    assert got == {("a", 1): 10, ("a", 2): 11,
+                   ("", 1): 99, ("", 2): 21}
